@@ -1,0 +1,189 @@
+"""Distributed 3D FFT layered on the transpose engine.
+
+TPU-native rebuild of the reference FFT benchmark skeleton
+(``benchmark/benchmark.cu:294-412,501-611``): per-axis 1D FFTs along each
+pencil's full axis interleaved with global transposes,
+
+    FFT_x -> X2Y -> FFT_y -> Y2Z -> FFT_z      (forward)
+    iFFT_z -> Z2Y -> iFFT_y -> Y2X -> iFFT_x   (inverse)
+
+with the reference's slab optimizations (``benchmark.cu:294-356``): when a
+transpose is communication-free (process-grid factor of 1) and the memory
+orders agree, adjacent FFT stages fuse into one multi-axis local FFT and the
+no-op transpose is skipped entirely.
+
+R2C/C2R uses twin real/complex grid descriptors exactly like the benchmark's
+twin-descriptor trick (``benchmark.cu:238-252``): the complex grid has
+X extent ``X//2 + 1``; Y/Z decompositions coincide since pdims match.
+
+Normalization follows jnp.fft (inverse scales by 1/N), so
+``ifft3d(fft3d(x)) == x`` to rounding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cudecomp_tpu import geometry
+from cudecomp_tpu.config import GridConfig
+from cudecomp_tpu.grid import GridDescriptor
+from cudecomp_tpu.ops import transpose as tr
+from cudecomp_tpu.utils.tracing import trace_range
+
+
+def _fft_axes(grid, axis, global_axes):
+    """Array dims (in the pencil's memory order) holding the given global axes."""
+    inv = grid.config.inv_mem_order(axis)
+    return tuple(inv[a] for a in global_axes)
+
+
+def complex_grid_config(cfg: GridConfig) -> GridConfig:
+    """Twin complex-grid config for R2C: X extent becomes X//2 + 1."""
+    gx = cfg.gdims[0] // 2 + 1
+    gd = None
+    if cfg.gdims_dist is not None:
+        gd = (min(cfg.gdims_dist[0], gx), cfg.gdims_dist[1], cfg.gdims_dist[2])
+    return dataclasses.replace(cfg, gdims=(gx, cfg.gdims[1], cfg.gdims[2]),
+                               gdims_dist=gd)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistributedFFT:
+    """A planned distributed 3D FFT over a grid descriptor.
+
+    ``forward`` maps an X-pencil physical-space buffer to a Z-pencil spectral
+    buffer; ``inverse`` maps back.  Both are jittable and differentiable.
+
+    For ``real=True``, forward input is a real X-pencil on ``grid`` and the
+    spectral output lives on ``complex_grid`` (X extent X//2+1).
+    """
+
+    grid: GridDescriptor
+    real: bool = False
+
+    @property
+    def complex_grid(self) -> GridDescriptor:
+        if not self.real:
+            return self.grid
+        return GridDescriptor(config=complex_grid_config(self.grid.config),
+                              mesh=self.grid.mesh,
+                              axis_names=self.grid.axis_names)
+
+    # -- planning ------------------------------------------------------------------
+
+    def _stages(self):
+        """Forward plan: list of ('fft', grid, pencil_axis, global_axes) and
+        ('transpose', ax, dir) steps, with slab fusions applied."""
+        cgrid = self.complex_grid
+        cfg = cgrid.config
+        pr, pc = cfg.pdims
+        # local-transpose detection: communication-free when the comm factor
+        # is 1 AND the memory orders agree (otherwise a local permute remains,
+        # which the transpose op handles without collectives anyway).
+        xy_local = pr == 1 and cfg.mem_order(0) == cfg.mem_order(1)
+        yz_local = pc == 1 and cfg.mem_order(1) == cfg.mem_order(2)
+
+        stages = []
+        if xy_local and yz_local:
+            stages.append(("fft", 0, (0, 1, 2)))        # single local 3D FFT
+        elif xy_local:
+            stages.append(("fft", 0, (0, 1)))           # 2D FFT over (x, y)
+            stages.append(("transpose", 1, +1))
+            stages.append(("fft", 2, (2,)))
+        elif yz_local:
+            stages.append(("fft", 0, (0,)))
+            stages.append(("transpose", 0, +1))
+            stages.append(("fft", 1, (1, 2)))           # 2D FFT over (y, z)
+        else:
+            stages.append(("fft", 0, (0,)))
+            stages.append(("transpose", 0, +1))
+            stages.append(("fft", 1, (1,)))
+            stages.append(("transpose", 1, +1))
+            stages.append(("fft", 2, (2,)))
+        return stages
+
+    # -- execution -----------------------------------------------------------------
+
+    def forward(self, x):
+        """Physical X-pencil -> spectral Z-pencil."""
+        cgrid = self.complex_grid
+        stages = self._stages()
+        with trace_range("cudecomp_tpu.fft3d_forward"):
+            first_fft = True
+            for kind, a, *rest in stages:
+                if kind == "fft":
+                    axes = _fft_axes(cgrid, a, rest[0])
+                    if self.real and first_fft:
+                        x = _rfft_stage(self.grid, cgrid, x, rest[0])
+                    else:
+                        x = jnp.fft.fftn(x, axes=axes)
+                    first_fft = False
+                else:
+                    dir_ = rest[0]
+                    op = tr.transpose_x_to_y if a == 0 else tr.transpose_y_to_z
+                    x = op(cgrid, x)
+            return x
+
+    def inverse(self, xh):
+        """Spectral Z-pencil -> physical X-pencil."""
+        cgrid = self.complex_grid
+        stages = self._stages()
+        with trace_range("cudecomp_tpu.fft3d_inverse"):
+            x = xh
+            rev = list(reversed(stages))
+            last_fft_idx = max(i for i, s in enumerate(rev) if s[0] == "fft")
+            for i, (kind, a, *rest) in enumerate(rev):
+                if kind == "fft":
+                    axes = _fft_axes(cgrid, a, rest[0])
+                    if self.real and i == last_fft_idx:
+                        x = _irfft_stage(self.grid, cgrid, x, rest[0])
+                    else:
+                        x = jnp.fft.ifftn(x, axes=axes)
+                else:
+                    op = tr.transpose_y_to_x if a == 0 else tr.transpose_z_to_y
+                    x = op(cgrid, x)
+            return x
+
+
+def _rfft_stage(rgrid, cgrid, x, global_axes):
+    """First forward stage for R2C: rfft along X plus ffts over any other
+    fused axes, mapping the real X-pencil buffer onto the complex grid's
+    X-pencil buffer (padded-pencil format preserved)."""
+    assert 0 in global_axes
+    inv = rgrid.config.inv_mem_order(0)
+    x_dim = inv[0]
+    xh = jnp.fft.rfft(x, axis=x_dim)
+    # complex X-pencil buffer has X extent X//2+1 (same Y/Z decomposition)
+    other = [a for a in global_axes if a != 0]
+    if other:
+        axes = _fft_axes(cgrid, 0, other)
+        xh = jnp.fft.fftn(xh, axes=axes)
+    return xh
+
+
+def _irfft_stage(rgrid, cgrid, xh, global_axes):
+    """Last inverse stage for C2R: inverse of :func:`_rfft_stage`."""
+    assert 0 in global_axes
+    other = [a for a in global_axes if a != 0]
+    if other:
+        axes = _fft_axes(cgrid, 0, other)
+        xh = jnp.fft.ifftn(xh, axes=axes)
+    inv = rgrid.config.inv_mem_order(0)
+    x_dim = inv[0]
+    n = rgrid.config.gdims[0]
+    return jnp.fft.irfft(xh, n=n, axis=x_dim)
+
+
+def fft3d(grid, x, real: bool = False):
+    """One-shot forward distributed FFT (see :class:`DistributedFFT`)."""
+    return DistributedFFT(grid=grid, real=real).forward(x)
+
+
+def ifft3d(grid, xh, real: bool = False):
+    """One-shot inverse distributed FFT."""
+    return DistributedFFT(grid=grid, real=real).inverse(xh)

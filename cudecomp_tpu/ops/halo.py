@@ -1,0 +1,161 @@
+"""Halo (ghost-cell) exchange engine.
+
+TPU-native rebuild of ``cudecompUpdateHalos_`` (``include/internal/
+halo.h:40-315``): per-axis, per-dim nearest-neighbor (+1/-1) exchange with
+optional periodic wrap, expressed as paired ``lax.ppermute`` shifts over the
+mesh axis that shards the dim.
+
+The reference's three cases map as:
+  * case 0 (periodic self-copy when the dim is local to one rank,
+    halo.h:164-193) -> explicit local slice copies, no collective;
+  * cases 1/2 (strided pack -> sendrecv -> unpack vs contiguous direct
+    sendrecv, halo.h:195-305) -> a single functional form: slice the edge
+    slabs, ``ppermute`` them both directions, write the halo regions.  XLA
+    owns contiguity, so the pack/direct distinction disappears.
+
+Non-periodic boundary ranks keep their original halo contents (the reference
+skips the -1 neighbor side, halo.h:232-260); since ``ppermute`` delivers
+zeros to ranks with no source, we restore the original contents there with a
+rank-indexed select.
+
+Buffer layout contract (padded-pencil format, see ``geometry``): along a
+sharded global dim with halo ``h`` and max split ``m``, a shard holds
+``[low halo: 0..h) [interior: h..h+valid) [zeros..h+m) [high halo:
+h+m..h+2h+m) [padding...]``; ``valid`` may differ per rank for non-divisible
+extents.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cudecomp_tpu import geometry
+from cudecomp_tpu.geometry import _check_extents
+from cudecomp_tpu.parallel.collectives import shard_map_fn
+from cudecomp_tpu.utils.tracing import trace_range
+
+
+def update_halos(grid, arr, axis: int, halo_extents, halo_periods,
+                 dim: Optional[int] = None, padding=None):
+    """Update halo regions of a pencil buffer (``cudecompUpdateHalos{X,Y,Z}``
+    analog, ``include/cudecomp.h:661-715``).
+
+    Args:
+      grid: GridDescriptor.
+      arr: global array in the pencil-``axis`` padded layout *with* halo
+        regions (shape must match ``grid.global_shape(axis, halo_extents,
+        padding)``).
+      axis: pencil axis (0=X, 1=Y, 2=Z).
+      halo_extents: per-global-dim halo widths baked into the buffer.
+      halo_periods: per-global-dim periodicity.
+      dim: which global dim to update; None updates every dim with a nonzero
+        halo extent, sequentially (so edges/corners compose like successive
+        reference calls).
+    """
+    cfg = grid.config
+    halo = _check_extents(halo_extents, "halo_extents")
+    pad = _check_extents(padding, "padding")
+    periods = tuple(bool(p) for p in halo_periods)
+    if len(periods) != 3:
+        raise ValueError("halo_periods must have length 3")
+    if axis not in (0, 1, 2):
+        raise ValueError(f"axis out of range: {axis}")
+
+    expected = geometry.global_buffer_shape(cfg, axis, halo, pad)
+    if tuple(arr.shape) != expected:
+        raise ValueError(
+            f"update_halos: input shape {tuple(arr.shape)} does not match "
+            f"pencil layout {expected} (halos {halo}, padding {pad})")
+
+    dims = [dim] if dim is not None else [d for d in range(3) if halo[d] > 0]
+    names = ("x", "y", "z")
+    for d in dims:
+        if d not in (0, 1, 2):
+            raise ValueError(f"dim out of range: {d}")
+        if halo[d] == 0:
+            continue  # reference returns early on zero halo (cudecomp.cc:1930-1933)
+        with trace_range(f"cudecomp_tpu.update_halos_{names[axis]}_dim{d}"):
+            arr = _update_dim(grid, arr, axis, d, halo, periods[d], pad)
+    return arr
+
+
+def _update_dim(grid, arr, axis, d, halo, periodic, pad):
+    cfg = grid.config
+    h = halo[d]
+    order = cfg.mem_order(axis)
+    inv = cfg.inv_mem_order(axis)
+    i_d = inv[d]  # array dim holding global dim d
+    ms = geometry.max_splits(cfg, axis)
+    m = ms[d]
+
+    pd = geometry.shard_pdim_of_dim(axis, d)
+    P = cfg.pdims[pd] if pd is not None else 1
+
+    if pd is None:
+        splits = (cfg.gdims[d],)
+    else:
+        splits = geometry._dist_splits(cfg, d, P)
+    # reference rejects halos wider than (neighbor) pencils (halo.h:120-145)
+    if h > min(splits):
+        raise ValueError(
+            f"halo width {h} along dim {d} exceeds smallest pencil extent "
+            f"{min(splits)}")
+
+    uneven = len(set(splits)) > 1
+
+    def local_fn(local):
+        def valid_extent():
+            if not uneven:
+                return splits[0]
+            idx = lax.axis_index(grid.axis_names[pd])
+            return jnp.array(splits)[idx]
+
+        if P == 1:
+            if not periodic:
+                return local  # nothing to exchange, boundary halos untouched
+            v = splits[0]
+            low_src = lax.slice_in_dim(local, h + v - h, h + v, axis=i_d)
+            high_src = lax.slice_in_dim(local, h, 2 * h, axis=i_d)
+            local = lax.dynamic_update_slice_in_dim(
+                local, low_src, 0, axis=i_d)
+            local = lax.dynamic_update_slice_in_dim(
+                local, high_src, h + m, axis=i_d)
+            return local
+
+        name = grid.axis_names[pd]
+        me = lax.axis_index(name)
+        v = valid_extent()
+
+        # slabs to send: last h interior elements (to right), first h (to left)
+        to_right = lax.dynamic_slice_in_dim(local, v, h, axis=i_d)
+        to_left = lax.slice_in_dim(local, h, 2 * h, axis=i_d)
+
+        fwd = [(j, j + 1) for j in range(P - 1)]
+        bwd = [(j + 1, j) for j in range(P - 1)]
+        if periodic:
+            fwd.append((P - 1, 0))
+            bwd.append((0, P - 1))
+        from_left = lax.ppermute(to_right, name, fwd)
+        from_right = lax.ppermute(to_left, name, bwd)
+
+        if not periodic:
+            # boundary ranks keep their original halo contents
+            old_low = lax.slice_in_dim(local, 0, h, axis=i_d)
+            old_high = lax.dynamic_slice_in_dim(local, h + m, h, axis=i_d)
+            is_first = (me == 0)
+            is_last = (me == P - 1)
+            from_left = jnp.where(is_first, old_low, from_left)
+            from_right = jnp.where(is_last, old_high, from_right)
+
+        local = lax.dynamic_update_slice_in_dim(local, from_left, 0, axis=i_d)
+        local = lax.dynamic_update_slice_in_dim(local, from_right, h + m,
+                                                axis=i_d)
+        return local
+
+    spec = grid.spec(axis)
+    fn = shard_map_fn(local_fn, grid.mesh, in_specs=(spec,), out_specs=spec)
+    return fn(arr)

@@ -1,0 +1,195 @@
+"""Global transpose engine — the algorithmic core.
+
+TPU-native rebuild of ``cudecompTranspose_`` (``include/internal/
+transpose.h:196-905``): one generic routine parameterized on (axis,
+direction) implements all four ops as three phases
+
+    local pack  ->  mesh-axis exchange  ->  local unpack
+
+expressed functionally inside ``shard_map``.  Differences from the
+reference, by design:
+
+  * Phase elision (the reference's pointer-aliasing special cases,
+    transpose.h:326-404) is unnecessary: pack/unpack are ``jnp`` reshapes/
+    transposes that XLA fuses or removes; the only explicit fast paths are
+    the slab degenerations (comm axis of size 1 -> no collective at all) and
+    the divisible-extents path (pack/unpack become metadata-only reshapes
+    around one tiled ``lax.all_to_all``).
+  * Non-divisible extents use the padded-pencil format (see ``geometry``):
+    per-peer chunks are padded to the maximum split with zeros, exchanged at
+    uniform size, and the valid sub-blocks reassembled with static slices —
+    the pad-to-max analog of the reference's max-pencil workspace sizing.
+  * The backend choice collapses to :class:`TransposeMethod` (all_to_all /
+    ring / pallas_a2a), see ``parallel.collectives``.
+
+All ops are jittable, differentiable, and usable on sub-meshes of larger
+training meshes.  Input/output halo extents and padding are supported per-op
+exactly like the reference API (``include/cudecomp.h:545-660``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cudecomp_tpu import geometry
+from cudecomp_tpu.config import TransposeMethod
+from cudecomp_tpu.geometry import _check_extents
+from cudecomp_tpu.parallel.collectives import EXCHANGES, shard_map_fn
+from cudecomp_tpu.utils.tracing import trace_range
+
+
+def _strip_halos_padding(local, order, halo, ms):
+    """Slice the interior (max-split extents) out of a haloed/padded buffer."""
+    sl = tuple(slice(halo[order[i]], halo[order[i]] + ms[order[i]])
+               for i in range(3))
+    return local[sl]
+
+
+def _add_halos_padding(local, order, halo, pad):
+    """Surround the interior with zeroed halo regions and trailing padding."""
+    widths = tuple((halo[order[i]], halo[order[i]] + pad[order[i]])
+                   for i in range(3))
+    if all(w == (0, 0) for w in widths):
+        return local
+    return jnp.pad(local, widths)
+
+
+def _transpose_impl(grid, arr, ax: int, dir_: int,
+                    input_halo_extents, output_halo_extents,
+                    input_padding, output_padding,
+                    method: Optional[TransposeMethod]):
+    cfg = grid.config
+    ax_out = ax + dir_
+    assert 0 <= ax_out <= 2
+    in_halo = _check_extents(input_halo_extents, "input_halo_extents")
+    out_halo = _check_extents(output_halo_extents, "output_halo_extents")
+    in_pad = _check_extents(input_padding, "input_padding")
+    out_pad = _check_extents(output_padding, "output_padding")
+    if method is None:
+        method = cfg.transpose_method
+
+    comm_pd = 0 if min(ax, ax_out) == 0 else 1
+    comm_name = grid.comm_axis_name(ax, dir_)
+    P = cfg.pdims[comm_pd]
+
+    in_order = cfg.mem_order(ax)
+    out_order = cfg.mem_order(ax_out)
+    in_inv = cfg.inv_mem_order(ax)
+    ms_in = geometry.max_splits(cfg, ax)
+    ms_out = geometry.max_splits(cfg, ax_out)
+
+    # scatter dim: full in input, sharded in output; gather dim: vice versa.
+    scatter_dim, gather_dim = ax, ax_out
+    splits_scatter = geometry._dist_splits(cfg, scatter_dim, P)
+    splits_gather = geometry._dist_splits(cfg, gather_dim, P)
+    if min(splits_scatter) == 0 or min(splits_gather) == 0:
+        # reference rejects empty pencils (transpose.h:257-259)
+        raise ValueError(
+            f"transpose axis {ax}->{ax_out}: empty pencil (splits "
+            f"{splits_scatter} / {splits_gather}); reduce pdims")
+    off_scatter = geometry.get_split_offsets(cfg.effective_gdims_dist[scatter_dim], P)
+    Bs = max(splits_scatter)           # == ms_out[scatter_dim]
+    Bg = max(splits_gather)            # == ms_in[gather_dim]
+    even = (splits_scatter == (Bs,) * P) and (splits_gather == (Bg,) * P)
+
+    method_key = method.value if isinstance(method, TransposeMethod) else str(method)
+    if method_key not in EXCHANGES:
+        raise ValueError(f"unknown transpose method {method_key!r}; "
+                         f"available: {sorted(EXCHANGES)}")
+    exchange = EXCHANGES[method_key]
+
+    expected_in = geometry.global_buffer_shape(cfg, ax, in_halo, in_pad)
+    if tuple(arr.shape) != expected_in:
+        raise ValueError(
+            f"transpose {ax}->{ax_out}: input shape {tuple(arr.shape)} does not "
+            f"match pencil-{('x','y','z')[ax]} layout {expected_in} "
+            f"(halos {in_halo}, padding {in_pad})")
+
+    def local_fn(local):
+        t = _strip_halos_padding(local, in_order, in_halo, ms_in)
+        # to global-axis order (dims = X, Y, Z extents of this pencil)
+        t = jnp.transpose(t, axes=in_inv)
+
+        if P == 1:
+            out_t = t  # slab degeneration: pure local reorder, no collective
+        else:
+            # ---- pack: chunk the scatter dim into per-peer blocks ----
+            tm = jnp.moveaxis(t, scatter_dim, 0)
+            if even:
+                blocks = tm  # (P*Bs, ...) already contiguous per peer
+            else:
+                chunks = []
+                for p in range(P):
+                    c = lax.slice_in_dim(tm, off_scatter[p],
+                                         off_scatter[p] + splits_scatter[p], axis=0)
+                    if splits_scatter[p] < Bs:
+                        padw = [(0, 0)] * c.ndim
+                        padw[0] = (0, Bs - splits_scatter[p])
+                        c = jnp.pad(c, padw)
+                    chunks.append(c)
+                blocks = jnp.concatenate(chunks, axis=0)
+            # ---- exchange over the mesh axis ----
+            recv = exchange(blocks, comm_name, P, Bs)
+            # ---- unpack: reassemble the gather dim ----
+            # position of the gather dim after moveaxis(scatter -> 0):
+            gpos = gather_dim + 1 if gather_dim < scatter_dim else gather_dim
+            if even:
+                out_m = _concat_gather_even(recv, P, Bs, Bg, gpos)
+            else:
+                parts = []
+                for q in range(P):
+                    blk = lax.slice_in_dim(recv, q * Bs, (q + 1) * Bs, axis=0)
+                    blk = lax.slice_in_dim(blk, 0, splits_gather[q], axis=gpos)
+                    parts.append(blk)
+                out_m = jnp.concatenate(parts, axis=gpos)
+            out_t = jnp.moveaxis(out_m, 0, scatter_dim)
+
+        out_t = jnp.transpose(out_t, axes=out_order)
+        return _add_halos_padding(out_t, out_order, out_halo, out_pad)
+
+    fn = shard_map_fn(local_fn, grid.mesh,
+                      in_specs=(grid.spec(ax),), out_specs=grid.spec(ax_out))
+    names = ("x", "y", "z")
+    with trace_range(f"cudecomp_tpu.transpose_{names[ax]}_to_{names[ax_out]}"):
+        return fn(arr)
+
+
+def _concat_gather_even(recv, P, Bs, Bg, gpos):
+    """Evenly-divisible unpack: (P*Bs, ..., Bg, ...) -> (Bs, ..., P*Bg, ...)
+    as pure reshapes so XLA fuses it into the collective's epilogue."""
+    shape = recv.shape
+    r = recv.reshape((P, Bs) + shape[1:])   # gather dim now at gpos + 1
+    r = jnp.moveaxis(r, 0, gpos)            # (Bs, ..., P, Bg, ...)
+    new_shape = list(r.shape)
+    new_shape[gpos:gpos + 2] = [P * Bg]
+    return r.reshape(new_shape)
+
+
+def _public(ax, dir_):
+    names = ("x", "y", "z")
+
+    def op(grid, arr, input_halo_extents=None, output_halo_extents=None,
+           input_padding=None, output_padding=None, method=None):
+        return _transpose_impl(grid, arr, ax, dir_,
+                               input_halo_extents, output_halo_extents,
+                               input_padding, output_padding, method)
+
+    op.__name__ = f"transpose_{names[ax]}_to_{names[ax + dir_]}"
+    op.__doc__ = (
+        f"Global transpose {names[ax].upper()}-pencil -> "
+        f"{names[ax + dir_].upper()}-pencil (analog of "
+        f"cudecompTranspose{names[ax].upper()}To{names[ax + dir_].upper()}, "
+        f"include/cudecomp.h). Jittable; accepts per-op input/output halo "
+        f"extents and padding.")
+    return op
+
+
+transpose_x_to_y = _public(0, +1)
+transpose_y_to_z = _public(1, +1)
+transpose_y_to_x = _public(1, -1)
+transpose_z_to_y = _public(2, -1)

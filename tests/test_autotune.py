@@ -1,0 +1,66 @@
+"""Autotuner behavior — candidate enumeration, empty-pencil skipping,
+two-phase (grid+strategy, then halo), frozen winning config
+(autotune.cc analog)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cudecomp_tpu as cd
+from cudecomp_tpu.config import (AutotuneOptions, GridConfig, HaloMethod,
+                                 TransposeMethod)
+from cudecomp_tpu.autotune import autotune, _valid_pdims
+
+
+def test_valid_pdims_skips_empty_pencils():
+    cfg = GridConfig(gdims=(2, 2, 64))
+    opts = AutotuneOptions()
+    cands = _valid_pdims(cfg, 4, opts)
+    # any factor > 2 would leave empty pencils on dims 0/1
+    assert cands == [(2, 2)]
+
+
+def test_pr_pc_range_clamps():
+    cfg = GridConfig(gdims=(64, 64, 64))
+    opts = AutotuneOptions(pr_range=(2, 4), pc_range=(2, 4))
+    cands = _valid_pdims(cfg, 8, opts)
+    assert cands == [(2, 4), (4, 2)]
+
+
+def test_autotune_end_to_end():
+    cfg = GridConfig(gdims=(16, 16, 16))
+    opts = AutotuneOptions(n_warmup=1, n_trials=2)
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts,
+                      dtype=jnp.complex64)
+    assert result.best_pdims in ((1, 4), (2, 2), (4, 1))
+    assert isinstance(result.best_method, TransposeMethod)
+    assert result.grid.config.pdims == result.best_pdims
+    assert result.grid.config.transpose_method == result.best_method
+    assert len(result.trials) >= 6  # 3 grids x 2 methods
+    assert "selected" in result.report()
+
+
+def test_autotune_fixed_pdims_method_sweep():
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 2))
+    opts = AutotuneOptions(n_warmup=1, n_trials=2)
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts)
+    assert result.best_pdims == (2, 2)
+    assert {t.pdims for t in result.trials} == {(2, 2)}
+
+
+def test_autotune_halo_phase():
+    cfg = GridConfig(gdims=(16, 16, 16))
+    opts = AutotuneOptions(n_warmup=1, n_trials=2,
+                           autotune_halo_method=True,
+                           halo_extents=(1, 1, 1))
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts)
+    assert result.best_halo_method == HaloMethod.PPERMUTE
+    assert result.halo_trials
+
+
+def test_make_grid_runs_autotune():
+    cfg = GridConfig(gdims=(16, 16, 16))  # pdims (0,0) -> autotune
+    opts = AutotuneOptions(n_warmup=0, n_trials=1)
+    grid = cd.make_grid(cfg, devices=jax.devices()[:4], autotune_options=opts)
+    assert grid.config.pdims[0] * grid.config.pdims[1] == 4

@@ -1,0 +1,192 @@
+"""Transpose correctness — global-linear-index oracle over the parameterized
+matrix of the reference suite (transpose_tests.cc:45-61): process grids x
+all four ops x layouts x dtypes x methods, on even grids and the deliberately
+uneven 9x10x11 grid, plus halo/padding variants."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import cudecomp_tpu as cd
+from cudecomp_tpu.config import GridConfig, TransposeMethod
+from cudecomp_tpu.utils import testing as T
+
+
+def make_grid_for(gdims, pdims, **kw):
+    cfg = GridConfig(gdims=gdims, pdims=pdims, **kw)
+    return cd.make_grid(cfg, devices=jax.devices()[: pdims[0] * pdims[1]])
+
+
+def roundtrip_check(grid, dtype=np.float64, method=None, rtol=0):
+    """Scatter oracle field to X-pencil, walk X->Y->Z->Y->X, gather and check
+    every intermediate stage against the original."""
+    x_global = T.global_index_field(grid.gdims, dtype=dtype)
+    buf = cd.scatter_global(grid, x_global, 0)
+    T.check_shards_match_pencil(grid, buf, 0, x_global)
+
+    stages = [
+        (cd.transpose_x_to_y, 1),
+        (cd.transpose_y_to_z, 2),
+        (cd.transpose_z_to_y, 1),
+        (cd.transpose_y_to_x, 0),
+    ]
+    for op, out_axis in stages:
+        buf = op(grid, buf, method=method)
+        got = cd.gather_global(grid, buf, out_axis)
+        np.testing.assert_allclose(got, x_global, rtol=rtol, atol=0,
+                                   err_msg=f"{op.__name__}")
+        T.check_shards_match_pencil(grid, buf, out_axis, x_global)
+
+
+PDIMS_4 = [(1, 4), (2, 2), (4, 1)]
+PDIMS_8 = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+@pytest.mark.parametrize("pdims", PDIMS_4 + [(2, 4)])
+def test_roundtrip_even_natural(pdims):
+    roundtrip_check(make_grid_for((8, 8, 8), pdims))
+
+
+@pytest.mark.parametrize("pdims", PDIMS_4)
+def test_roundtrip_uneven_9_10_11(pdims):
+    roundtrip_check(make_grid_for((9, 10, 11), pdims))
+
+
+@pytest.mark.parametrize("pdims", [(2, 2), (2, 4)])
+def test_roundtrip_axis_contiguous(pdims):
+    roundtrip_check(make_grid_for((8, 8, 8), pdims,
+                                  transpose_axis_contiguous=(True, True, True)))
+
+
+def test_roundtrip_axis_contiguous_uneven():
+    roundtrip_check(make_grid_for((9, 10, 11), (2, 2),
+                                  transpose_axis_contiguous=(True, True, True)))
+
+
+def test_roundtrip_mixed_mem_order():
+    # arbitrary per-pencil orders (transpose_mem_order config,
+    # include/cudecomp.h:145-149): exercise unpack-into-permuted layouts
+    roundtrip_check(make_grid_for(
+        (8, 8, 8), (2, 2),
+        transpose_mem_order=((1, 0, 2), (2, 1, 0), (0, 2, 1))))
+
+
+def test_roundtrip_mixed_mem_order_uneven():
+    roundtrip_check(make_grid_for(
+        (9, 10, 11), (2, 2),
+        transpose_mem_order=((2, 1, 0), (1, 2, 0), (2, 0, 1))))
+
+
+@pytest.mark.parametrize("method", [TransposeMethod.ALL_TO_ALL,
+                                    TransposeMethod.RING])
+@pytest.mark.parametrize("pdims", [(2, 2), (1, 4), (2, 4)])
+def test_methods_even(method, pdims):
+    roundtrip_check(make_grid_for((8, 8, 8), pdims), method=method)
+
+
+@pytest.mark.parametrize("method", [TransposeMethod.ALL_TO_ALL,
+                                    TransposeMethod.RING])
+def test_methods_uneven(method):
+    roundtrip_check(make_grid_for((9, 10, 11), (2, 2)), method=method)
+
+
+def test_ring_non_power_of_two():
+    # multi-level ring analog: non-power-of-two communicator (3 ranks),
+    # reference transpose_tests.cc:223-225
+    roundtrip_check(make_grid_for((9, 10, 11), (3, 1)),
+                    method=TransposeMethod.RING)
+    roundtrip_check(make_grid_for((8, 8, 8), (1, 3)),
+                    method=TransposeMethod.RING)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex64,
+                                   np.complex128])
+def test_dtypes(dtype):
+    roundtrip_check(make_grid_for((8, 8, 8), (2, 2)), dtype=dtype)
+
+
+def test_col_major_rank_order():
+    roundtrip_check(make_grid_for((8, 8, 8), (2, 2),
+                                  rank_order=cd.RankOrder.COL_MAJOR))
+    roundtrip_check(make_grid_for((9, 10, 11), (2, 4),
+                                  rank_order=cd.RankOrder.COL_MAJOR))
+
+
+def test_gdims_dist():
+    # distribute as-if (8,8,8) with excess on Z (FFT padding trick)
+    roundtrip_check(make_grid_for((8, 8, 11), (2, 2), gdims_dist=(8, 8, 8)))
+
+
+def test_transpose_with_halos_and_padding():
+    # per-op input/output halo extents and padding (include/cudecomp.h:545-632)
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    x_global = T.global_index_field(grid.gdims)
+    ih, oh = (1, 2, 0), (0, 1, 1)
+    ip, op_ = (0, 0, 2), (1, 0, 0)
+    buf = cd.scatter_global(grid, x_global, 0, halo_extents=ih, padding=ip)
+    out = cd.transpose_x_to_y(grid, buf, input_halo_extents=ih,
+                              output_halo_extents=oh, input_padding=ip,
+                              output_padding=op_)
+    got = cd.gather_global(grid, out, 1, halo_extents=oh, padding=op_)
+    np.testing.assert_allclose(got, x_global)
+    # output halo regions are zero-initialized
+    mask = cd.valid_interior_mask(grid, 1, halo_extents=oh, padding=op_)
+    host = np.asarray(jax.device_get(out))
+    assert np.all(host[~mask] == 0)
+
+
+def test_transpose_asymmetric_halos_uneven():
+    grid = make_grid_for((9, 10, 11), (2, 2),
+                         transpose_axis_contiguous=(True, True, True))
+    x_global = T.global_index_field(grid.gdims)
+    ih, oh = (1, 3, 2), (2, 1, 0)
+    buf = cd.scatter_global(grid, x_global, 1, halo_extents=ih)
+    out = cd.transpose_y_to_z(grid, buf, input_halo_extents=ih,
+                              output_halo_extents=oh)
+    got = cd.gather_global(grid, out, 2, halo_extents=oh)
+    np.testing.assert_allclose(got, x_global)
+
+
+def test_slab_no_comm_paths():
+    # 1x1 degenerate: everything local (transpose.h:326-362 analog)
+    roundtrip_check(make_grid_for((8, 9, 10), (1, 1)))
+    roundtrip_check(make_grid_for((8, 9, 10), (1, 1),
+                                  transpose_axis_contiguous=(True, True, True)))
+
+
+def test_empty_pencil_rejected():
+    grid = make_grid_for((2, 2, 8), (4, 1))
+    x = jnp.zeros(grid.global_shape(0))
+    with pytest.raises(ValueError, match="empty pencil"):
+        cd.transpose_x_to_y(grid, x)
+
+
+def test_shape_mismatch_rejected():
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    with pytest.raises(ValueError, match="does not match"):
+        cd.transpose_x_to_y(grid, jnp.zeros((8, 8, 8, 1)))
+    with pytest.raises(ValueError, match="does not match"):
+        cd.transpose_y_to_z(grid, jnp.zeros((4, 4, 4)))
+
+
+def test_jit_and_grad():
+    # ops are jittable and differentiable (functional bonus vs reference)
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    x_global = T.global_index_field(grid.gdims)
+    buf = cd.scatter_global(grid, x_global, 0)
+
+    @jax.jit
+    def f(b):
+        y = cd.transpose_x_to_y(grid, b)
+        return cd.transpose_y_to_z(grid, y)
+
+    out = f(buf)
+    np.testing.assert_allclose(cd.gather_global(grid, out, 2), x_global)
+
+    def loss(b):
+        return jnp.sum(cd.transpose_x_to_y(grid, b) ** 2)
+
+    g = jax.grad(loss)(buf)
+    np.testing.assert_allclose(np.asarray(jax.device_get(g)),
+                               2 * np.asarray(jax.device_get(buf)))
