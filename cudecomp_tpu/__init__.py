@@ -58,6 +58,8 @@ from cudecomp_tpu.ops.halo import update_halos
 from cudecomp_tpu.ops import fft
 from cudecomp_tpu.ops.fft import DistributedFFT, fft3d, ifft3d
 from cudecomp_tpu.autotune import autotune, AutotuneResult
+from cudecomp_tpu import performance
+from cudecomp_tpu.performance import perf_report_enable
 from cudecomp_tpu.utils.arrays import (
     scatter_global,
     gather_global,
@@ -94,6 +96,8 @@ __all__ = [
     "ifft3d",
     "autotune",
     "AutotuneResult",
+    "performance",
+    "perf_report_enable",
     "scatter_global",
     "gather_global",
     "valid_interior_mask",

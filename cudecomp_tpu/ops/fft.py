@@ -16,6 +16,13 @@ R2C/C2R uses twin real/complex grid descriptors exactly like the benchmark's
 twin-descriptor trick (``benchmark.cu:238-252``): the complex grid has
 X extent ``X//2 + 1``; Y/Z decompositions coincide since pdims match.
 
+Two FFT kernels:
+  * ``split_complex=False`` — complex dtypes + ``jnp.fft`` (XLA FFT op);
+  * ``split_complex=True`` — the MXU matmul FFT (``ops.mxu_fft``) on
+    split-complex buffers (trailing component dim 2).  This is the
+    TPU-native path: it needs no complex dtype support and runs the FFT on
+    the systolic array.  Transposes carry the component dim through.
+
 Normalization follows jnp.fft (inverse scales by 1/N), so
 ``ifft3d(fft3d(x)) == x`` to rounding.
 """
@@ -42,6 +49,42 @@ def _fft_axes(grid, axis, global_axes):
     return tuple(inv[a] for a in global_axes)
 
 
+def _use_matmul_complex() -> bool:
+    """XLA:CPU's FFT thunk RET_CHECKs on non-default operand layouts, which
+    layout assignment can produce when elementwise ops sit between FFT
+    stages inside one jit (e.g. a spectral scale in a Poisson solve).  On
+    the CPU backend we therefore run complex FFT stages through the matmul
+    FFT core (ops.mxu_fft, machine-precision accurate) instead of the XLA
+    FFT op.  TPU/GPU use the native XLA FFT."""
+    return jax.default_backend() == "cpu"
+
+
+def _complex_fft_1d(x, axis, kind, n=None):
+    """One complex/real FFT along ``axis``: kind in fft|ifft|rfft|irfft."""
+    from cudecomp_tpu.ops import mxu_fft
+    if _use_matmul_complex():
+        if kind == "rfft":
+            s = mxu_fft.rfft_split(x, axis)
+            return mxu_fft.from_split(s)
+        if kind == "irfft":
+            return mxu_fft.irfft_split(mxu_fft.to_split(x), axis, n=n)
+        s = mxu_fft.fft_split(mxu_fft.to_split(x), axis,
+                              inverse=(kind == "ifft"))
+        return mxu_fft.from_split(s)
+    if kind == "rfft":
+        return jnp.fft.rfft(x, axis=axis)
+    if kind == "irfft":
+        return jnp.fft.irfft(x, n=n, axis=axis)
+    op = jnp.fft.ifft if kind == "ifft" else jnp.fft.fft
+    return op(x, axis=axis)
+
+
+def _xla_fftn(x, axes, inverse):
+    for a in axes:
+        x = _complex_fft_1d(x, a, "ifft" if inverse else "fft")
+    return x
+
+
 def complex_grid_config(cfg: GridConfig) -> GridConfig:
     """Twin complex-grid config for R2C: X extent becomes X//2 + 1."""
     gx = cfg.gdims[0] // 2 + 1
@@ -65,6 +108,7 @@ class DistributedFFT:
 
     grid: GridDescriptor
     real: bool = False
+    split_complex: bool = False
 
     @property
     def complex_grid(self) -> GridDescriptor:
@@ -109,6 +153,14 @@ class DistributedFFT:
 
     # -- execution -----------------------------------------------------------------
 
+    def _fftn(self, x, axes, inverse):
+        if self.split_complex:
+            from cudecomp_tpu.ops import mxu_fft
+            for a in axes:
+                x = mxu_fft.fft_split(x, axis=a, inverse=inverse)
+            return x
+        return _xla_fftn(x, axes, inverse)
+
     def forward(self, x):
         """Physical X-pencil -> spectral Z-pencil."""
         cgrid = self.complex_grid
@@ -117,14 +169,13 @@ class DistributedFFT:
             first_fft = True
             for kind, a, *rest in stages:
                 if kind == "fft":
-                    axes = _fft_axes(cgrid, a, rest[0])
                     if self.real and first_fft:
-                        x = _rfft_stage(self.grid, cgrid, x, rest[0])
+                        x = _rfft_stage(self, cgrid, x, rest[0])
                     else:
-                        x = jnp.fft.fftn(x, axes=axes)
+                        x = self._fftn(x, _fft_axes(cgrid, a, rest[0]),
+                                       inverse=False)
                     first_fft = False
                 else:
-                    dir_ = rest[0]
                     op = tr.transpose_x_to_y if a == 0 else tr.transpose_y_to_z
                     x = op(cgrid, x)
             return x
@@ -139,51 +190,58 @@ class DistributedFFT:
             last_fft_idx = max(i for i, s in enumerate(rev) if s[0] == "fft")
             for i, (kind, a, *rest) in enumerate(rev):
                 if kind == "fft":
-                    axes = _fft_axes(cgrid, a, rest[0])
                     if self.real and i == last_fft_idx:
-                        x = _irfft_stage(self.grid, cgrid, x, rest[0])
+                        x = _irfft_stage(self, cgrid, x, rest[0])
                     else:
-                        x = jnp.fft.ifftn(x, axes=axes)
+                        x = self._fftn(x, _fft_axes(cgrid, a, rest[0]),
+                                       inverse=True)
                 else:
                     op = tr.transpose_y_to_x if a == 0 else tr.transpose_z_to_y
                     x = op(cgrid, x)
             return x
 
 
-def _rfft_stage(rgrid, cgrid, x, global_axes):
+def _rfft_stage(plan, cgrid, x, global_axes):
     """First forward stage for R2C: rfft along X plus ffts over any other
     fused axes, mapping the real X-pencil buffer onto the complex grid's
     X-pencil buffer (padded-pencil format preserved)."""
     assert 0 in global_axes
-    inv = rgrid.config.inv_mem_order(0)
+    inv = plan.grid.config.inv_mem_order(0)
     x_dim = inv[0]
-    xh = jnp.fft.rfft(x, axis=x_dim)
+    if plan.split_complex:
+        from cudecomp_tpu.ops import mxu_fft
+        xh = mxu_fft.rfft_split(x, axis=x_dim)
+    else:
+        xh = _complex_fft_1d(x, x_dim, "rfft")
     # complex X-pencil buffer has X extent X//2+1 (same Y/Z decomposition)
     other = [a for a in global_axes if a != 0]
     if other:
-        axes = _fft_axes(cgrid, 0, other)
-        xh = jnp.fft.fftn(xh, axes=axes)
+        xh = plan._fftn(xh, _fft_axes(cgrid, 0, other), inverse=False)
     return xh
 
 
-def _irfft_stage(rgrid, cgrid, xh, global_axes):
+def _irfft_stage(plan, cgrid, xh, global_axes):
     """Last inverse stage for C2R: inverse of :func:`_rfft_stage`."""
     assert 0 in global_axes
     other = [a for a in global_axes if a != 0]
     if other:
-        axes = _fft_axes(cgrid, 0, other)
-        xh = jnp.fft.ifftn(xh, axes=axes)
-    inv = rgrid.config.inv_mem_order(0)
+        xh = plan._fftn(xh, _fft_axes(cgrid, 0, other), inverse=True)
+    inv = plan.grid.config.inv_mem_order(0)
     x_dim = inv[0]
-    n = rgrid.config.gdims[0]
-    return jnp.fft.irfft(xh, n=n, axis=x_dim)
+    n = plan.grid.config.gdims[0]
+    if plan.split_complex:
+        from cudecomp_tpu.ops import mxu_fft
+        return mxu_fft.irfft_split(xh, axis=x_dim, n=n)
+    return _complex_fft_1d(xh, x_dim, "irfft", n=n)
 
 
-def fft3d(grid, x, real: bool = False):
+def fft3d(grid, x, real: bool = False, split_complex: bool = False):
     """One-shot forward distributed FFT (see :class:`DistributedFFT`)."""
-    return DistributedFFT(grid=grid, real=real).forward(x)
+    return DistributedFFT(grid=grid, real=real,
+                          split_complex=split_complex).forward(x)
 
 
-def ifft3d(grid, xh, real: bool = False):
+def ifft3d(grid, xh, real: bool = False, split_complex: bool = False):
     """One-shot inverse distributed FFT."""
-    return DistributedFFT(grid=grid, real=real).inverse(xh)
+    return DistributedFFT(grid=grid, real=real,
+                          split_complex=split_complex).inverse(xh)

@@ -66,10 +66,11 @@ def update_halos(grid, arr, axis: int, halo_extents, halo_periods,
         raise ValueError(f"axis out of range: {axis}")
 
     expected = geometry.global_buffer_shape(cfg, axis, halo, pad)
-    if tuple(arr.shape) != expected:
+    if arr.ndim < 3 or tuple(arr.shape[:3]) != expected:
         raise ValueError(
             f"update_halos: input shape {tuple(arr.shape)} does not match "
-            f"pencil layout {expected} (halos {halo}, padding {pad})")
+            f"pencil layout {expected} (halos {halo}, padding {pad}; trailing "
+            f"component dims are allowed)")
 
     dims = [dim] if dim is not None else [d for d in range(3) if halo[d] > 0]
     names = ("x", "y", "z")
@@ -156,6 +157,16 @@ def _update_dim(grid, arr, axis, d, halo, periodic, pad):
                                                 axis=i_d)
         return local
 
-    spec = grid.spec(axis)
+    spec = jax.sharding.PartitionSpec(
+        *(tuple(grid.spec(axis)) + (None,) * (arr.ndim - 3)))
     fn = shard_map_fn(local_fn, grid.mesh, in_specs=(spec,), out_specs=spec)
-    return fn(arr)
+
+    def perf_key():
+        other = [ms[g] for g in range(3) if g != d]
+        slab = h * other[0] * other[1]  # one face slab, per direction
+        key = (f"update_halos_axis{axis}_dim{d}", cfg.gdims, cfg.pdims,
+               cfg.halo_method.value, str(arr.dtype), tuple(halo), periodic)
+        return key, int(2 * slab * arr.dtype.itemsize)
+
+    from cudecomp_tpu import performance as perf
+    return perf.maybe_record(perf_key, fn, arr)

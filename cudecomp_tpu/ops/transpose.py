@@ -44,10 +44,11 @@ from cudecomp_tpu.utils.tracing import trace_range
 
 
 def _strip_halos_padding(local, order, halo, ms):
-    """Slice the interior (max-split extents) out of a haloed/padded buffer."""
+    """Slice the interior (max-split extents) out of a haloed/padded buffer.
+    Trailing component dims (beyond the 3 pencil dims) pass through."""
     sl = tuple(slice(halo[order[i]], halo[order[i]] + ms[order[i]])
                for i in range(3))
-    return local[sl]
+    return local[sl + (...,)]
 
 
 def _add_halos_padding(local, order, halo, pad):
@@ -56,7 +57,7 @@ def _add_halos_padding(local, order, halo, pad):
                    for i in range(3))
     if all(w == (0, 0) for w in widths):
         return local
-    return jnp.pad(local, widths)
+    return jnp.pad(local, widths + ((0, 0),) * (local.ndim - 3))
 
 
 def _transpose_impl(grid, arr, ax: int, dir_: int,
@@ -104,16 +105,20 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
     exchange = EXCHANGES[method_key]
 
     expected_in = geometry.global_buffer_shape(cfg, ax, in_halo, in_pad)
-    if tuple(arr.shape) != expected_in:
+    if arr.ndim < 3 or tuple(arr.shape[:3]) != expected_in:
         raise ValueError(
             f"transpose {ax}->{ax_out}: input shape {tuple(arr.shape)} does not "
             f"match pencil-{('x','y','z')[ax]} layout {expected_in} "
-            f"(halos {in_halo}, padding {in_pad})")
+            f"(halos {in_halo}, padding {in_pad}; trailing component dims "
+            f"are allowed)")
+    n_comp_dims = arr.ndim - 3
+
+    comp_axes = tuple(range(3, 3 + n_comp_dims))
 
     def local_fn(local):
         t = _strip_halos_padding(local, in_order, in_halo, ms_in)
         # to global-axis order (dims = X, Y, Z extents of this pencil)
-        t = jnp.transpose(t, axes=in_inv)
+        t = jnp.transpose(t, axes=in_inv + comp_axes)
 
         if P == 1:
             out_t = t  # slab degeneration: pure local reorder, no collective
@@ -149,14 +154,28 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
                 out_m = jnp.concatenate(parts, axis=gpos)
             out_t = jnp.moveaxis(out_m, 0, scatter_dim)
 
-        out_t = jnp.transpose(out_t, axes=out_order)
+        out_t = jnp.transpose(out_t, axes=out_order + comp_axes)
         return _add_halos_padding(out_t, out_order, out_halo, out_pad)
 
-    fn = shard_map_fn(local_fn, grid.mesh,
-                      in_specs=(grid.spec(ax),), out_specs=grid.spec(ax_out))
+    comp_spec = (None,) * n_comp_dims
+    in_spec = jax.sharding.PartitionSpec(*(tuple(grid.spec(ax)) + comp_spec))
+    out_spec = jax.sharding.PartitionSpec(*(tuple(grid.spec(ax_out)) + comp_spec))
+    fn = shard_map_fn(local_fn, grid.mesh, in_specs=(in_spec,),
+                      out_specs=out_spec)
     names = ("x", "y", "z")
-    with trace_range(f"cudecomp_tpu.transpose_{names[ax]}_to_{names[ax_out]}"):
-        return fn(arr)
+    op_name = f"transpose_{names[ax]}_to_{names[ax_out]}"
+
+    def perf_key():
+        # per-chip a2a payload: everything but the self block leaves the chip
+        local_elems = ms_in[0] * ms_in[1] * ms_in[2]  # per-shard interior
+        nbytes = int(local_elems * arr.dtype.itemsize * (P - 1) / P)
+        key = (op_name, cfg.gdims, cfg.pdims, method_key, str(arr.dtype),
+               in_halo, out_halo)
+        return key, nbytes
+
+    from cudecomp_tpu import performance as perf
+    with trace_range(f"cudecomp_tpu.{op_name}"):
+        return perf.maybe_record(perf_key, fn, arr)
 
 
 def _concat_gather_even(recv, P, Bs, Bg, gpos):

@@ -128,24 +128,21 @@ def perf_report_enable(enable: bool = True):
     REGISTRY.enabled = enable
 
 
-def instrument(key_fn: Callable):
-    """Wrap an op so each *dispatched* call records a wall-time sample."""
-    def deco(fn):
-        def wrapped(*args, **kwargs):
-            if not REGISTRY.enabled or isinstance(
-                    jax.numpy.zeros(()), jax.core.Tracer):
-                return fn(*args, **kwargs)
-            t0 = time.perf_counter()
-            out = fn(*args, **kwargs)
-            jax.block_until_ready(out)
-            ms = (time.perf_counter() - t0) * 1e3
-            key, nbytes = key_fn(*args, **kwargs)
-            REGISTRY.record(key, ms, nbytes)
-            return out
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        return wrapped
-    return deco
+def maybe_record(key_fn: Callable, run_fn: Callable, arr):
+    """Run ``run_fn(arr)``; when reporting is enabled and ``arr`` is a
+    concrete array (dispatched, not traced), record a wall-time sample.
+
+    Inside a larger jit the op is fused and cannot be timed individually —
+    the same limitation the reference has for CUDA-graph-captured paths."""
+    if not REGISTRY.enabled or isinstance(arr, jax.core.Tracer):
+        return run_fn(arr)
+    t0 = time.perf_counter()
+    out = run_fn(arr)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) * 1e3
+    key, nbytes = key_fn()
+    REGISTRY.record(key, ms, nbytes)
+    return out
 
 
 # ---------------------------------------------------------------------------

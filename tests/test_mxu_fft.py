@@ -1,0 +1,166 @@
+"""MXU matmul FFT (split-complex) — correctness vs numpy across sizes
+(powers of two, composites, primes), plus the distributed split-complex
+pipeline and component-dim transposes that carry it."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import cudecomp_tpu as cd
+from cudecomp_tpu.config import GridConfig
+from cudecomp_tpu.ops import mxu_fft as M
+from cudecomp_tpu.ops.fft import DistributedFFT
+from cudecomp_tpu.utils import testing as T
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 7, 13, 32, 60, 64, 96, 128, 256, 1024])
+def test_fft_split_vs_numpy(n):
+    x = RNG.standard_normal((3, n)) + 1j * RNG.standard_normal((3, n))
+    xs = M.to_split(jnp.asarray(x))
+    f = np.asarray(M.from_split(M.fft_split(xs, axis=1)))
+    ref = np.fft.fft(x, axis=1)
+    np.testing.assert_allclose(f, ref, rtol=1e-11, atol=1e-9)
+    b = np.asarray(M.from_split(
+        M.fft_split(M.fft_split(xs, axis=1), axis=1, inverse=True)))
+    np.testing.assert_allclose(b, x, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [2, 7, 8, 9, 60, 64, 256])
+def test_rfft_irfft_split_vs_numpy(n):
+    x = RNG.standard_normal((4, n))
+    f = np.asarray(M.from_split(M.rfft_split(jnp.asarray(x), axis=1)))
+    np.testing.assert_allclose(f, np.fft.rfft(x, axis=1), rtol=1e-11,
+                               atol=1e-9)
+    b = np.asarray(M.irfft_split(M.rfft_split(jnp.asarray(x), axis=1),
+                                 axis=1, n=n))
+    np.testing.assert_allclose(b, x, rtol=0, atol=1e-12)
+
+
+def test_fft_split_any_axis():
+    x = RNG.standard_normal((6, 8, 10)) + 1j * RNG.standard_normal((6, 8, 10))
+    xs = M.to_split(jnp.asarray(x))
+    for ax in range(3):
+        f = np.asarray(M.from_split(M.fft_split(xs, axis=ax)))
+        np.testing.assert_allclose(f, np.fft.fft(x, axis=ax), rtol=1e-11,
+                                   atol=1e-9)
+
+
+def test_float32_accuracy():
+    n = 256
+    x = (RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n)))
+    xs = M.to_split(jnp.asarray(x, dtype=jnp.complex64))
+    assert xs.dtype == jnp.float32
+    f = np.asarray(M.from_split(M.fft_split(xs, axis=1)))
+    ref = np.fft.fft(x, axis=1)
+    # reference single-precision tolerance (benchmark.cu:23-27)
+    assert np.max(np.abs(f - ref)) / np.max(np.abs(ref)) < 5e-4
+
+
+# -- component dims through the transpose/halo engines --------------------------
+
+
+def make_grid_for(gdims, pdims, **kw):
+    cfg = GridConfig(gdims=gdims, pdims=pdims, **kw)
+    return cd.make_grid(cfg, devices=jax.devices()[: pdims[0] * pdims[1]])
+
+
+@pytest.mark.parametrize("pdims", [(2, 2), (2, 4)])
+def test_transpose_with_component_dim(pdims):
+    grid = make_grid_for((8, 8, 8), pdims)
+    f = T.global_index_field((8, 8, 8))
+    x0 = cd.scatter_global(grid, f, 0)
+    x1 = cd.scatter_global(grid, 2 * f, 0)
+    x = jnp.stack([x0, x1], axis=-1)
+    y = cd.transpose_x_to_y(grid, x)
+    z = cd.transpose_y_to_z(grid, y)
+    for c, scale in ((0, 1.0), (1, 2.0)):
+        np.testing.assert_allclose(cd.gather_global(grid, z[..., c], 2),
+                                   scale * f)
+
+
+def test_transpose_component_dim_uneven():
+    grid = make_grid_for((9, 10, 11), (2, 2),
+                         transpose_axis_contiguous=(True, True, True))
+    f = T.global_index_field((9, 10, 11))
+    x = jnp.stack([cd.scatter_global(grid, f, 0),
+                   cd.scatter_global(grid, -f, 0)], axis=-1)
+    y = cd.transpose_x_to_y(grid, x)
+    back = cd.transpose_y_to_x(grid, y)
+    np.testing.assert_allclose(cd.gather_global(grid, back[..., 0], 0), f)
+    np.testing.assert_allclose(cd.gather_global(grid, back[..., 1], 0), -f)
+
+
+def test_halo_with_component_dim():
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    f = T.global_index_field((8, 8, 8))
+    he = (1, 1, 1)
+    b = jnp.stack([cd.scatter_global(grid, f, 0, halo_extents=he),
+                   cd.scatter_global(grid, 3 * f, 0, halo_extents=he)],
+                  axis=-1)
+    out = cd.update_halos(grid, b, 0, he, (True, True, True))
+    exp = T.expected_halo_buffer(grid, 0, f, he, (True, True, True),
+                                 dims=[0, 1, 2])
+    np.testing.assert_allclose(np.asarray(jax.device_get(out[..., 0])), exp)
+    np.testing.assert_allclose(np.asarray(jax.device_get(out[..., 1])), 3 * exp)
+
+
+# -- distributed split-complex FFT ----------------------------------------------
+
+
+def sc_c2c_case(gdims, pdims, **cfg_kw):
+    grid = make_grid_for(gdims, pdims, **cfg_kw)
+    x = (RNG.standard_normal(gdims) + 1j * RNG.standard_normal(gdims))
+    plan = DistributedFFT(grid=grid, split_complex=True)
+    buf = M.to_split(jnp.asarray(cd.scatter_global(grid, x, 0)))
+    xh = plan.forward(buf)
+    got_r = cd.gather_global(grid, xh[..., 0], 2)
+    got_i = cd.gather_global(grid, xh[..., 1], 2)
+    ref = np.fft.fftn(x)
+    np.testing.assert_allclose(got_r + 1j * got_i, ref, rtol=1e-10, atol=1e-7)
+    back = plan.inverse(xh)
+    np.testing.assert_allclose(
+        cd.gather_global(grid, back[..., 0], 0)
+        + 1j * cd.gather_global(grid, back[..., 1], 0), x, rtol=0, atol=1e-10)
+
+
+@pytest.mark.parametrize("pdims", [(2, 2), (1, 4), (4, 1)])
+def test_split_complex_c2c(pdims):
+    sc_c2c_case((8, 8, 8), pdims)
+
+
+def test_split_complex_c2c_uneven():
+    sc_c2c_case((12, 10, 14), (2, 2))
+
+
+def test_split_complex_c2c_axis_contiguous():
+    sc_c2c_case((8, 8, 8), (2, 2),
+                transpose_axis_contiguous=(True, True, True))
+
+
+def test_split_complex_r2c():
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    x = RNG.standard_normal((8, 8, 8))
+    plan = DistributedFFT(grid=grid, real=True, split_complex=True)
+    buf = cd.scatter_global(grid, x, 0)
+    xh = plan.forward(buf)
+    cgrid = plan.complex_grid
+    got = (cd.gather_global(cgrid, xh[..., 0], 2)
+           + 1j * cd.gather_global(cgrid, xh[..., 1], 2))
+    ref = np.fft.fftn(np.fft.rfft(x, axis=0), axes=(1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-8)
+    back = plan.inverse(xh)
+    np.testing.assert_allclose(cd.gather_global(grid, back, 0), x,
+                               rtol=0, atol=1e-12)
+
+
+def test_split_complex_jitted():
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    plan = DistributedFFT(grid=grid, split_complex=True)
+    x = RNG.standard_normal((8, 8, 8, 2))
+    buf = jax.device_put(jnp.asarray(x), grid.sharding(0))
+    rt = jax.jit(lambda b: plan.inverse(plan.forward(b)))(buf)
+    np.testing.assert_allclose(np.asarray(jax.device_get(rt)),
+                               np.asarray(jax.device_get(buf)), atol=1e-12)

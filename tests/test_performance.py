@@ -1,0 +1,69 @@
+"""Performance-report subsystem — sample capture, aggregation, bandwidth
+derivation, CSV export (performance.cc analog)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import cudecomp_tpu as cd
+from cudecomp_tpu.config import GridConfig
+from cudecomp_tpu.performance import REGISTRY
+
+
+def test_perf_registry_records_dispatched_ops(tmp_path):
+    REGISTRY.clear()
+    cd.perf_report_enable(True)
+    try:
+        grid = cd.make_grid(GridConfig(gdims=(8, 8, 8), pdims=(2, 2)),
+                            devices=jax.devices()[:4])
+        x = jax.device_put(jnp.zeros(grid.global_shape(0)), grid.sharding(0))
+        for _ in range(3):
+            y = cd.transpose_x_to_y(grid, x)
+            x = cd.transpose_y_to_x(grid, y)
+        he = (1, 1, 1)
+        h = jax.device_put(jnp.zeros(grid.global_shape(0, halo_extents=he)),
+                           grid.sharding(0))
+        # first sample per key is warmup-discarded, so call twice
+        cd.update_halos(grid, h, 0, he, (True, True, True))
+        cd.update_halos(grid, h, 0, he, (True, True, True))
+
+        rows = REGISTRY.rows()
+        names = {r["config"].split("/")[0] for r in rows}
+        assert "transpose_x_to_y" in names
+        assert "transpose_y_to_x" in names
+        assert any(n.startswith("update_halos") for n in names)
+        xy = [r for r in rows if r["config"].startswith("transpose_x_to_y")][0]
+        assert xy["count"] == 2  # 3 calls - 1 warmup discard
+        assert xy["a2a_gbps"] > 0
+        report = REGISTRY.report()
+        assert "transpose_x_to_y" in report and "A2A GB/s" in report
+
+        paths = REGISTRY.write_csv(str(tmp_path))
+        assert paths and all(os.path.exists(p) for p in paths)
+        with open(paths[0]) as f:
+            assert f.readline().startswith("sample,time_ms")
+    finally:
+        cd.perf_report_enable(False)
+        REGISTRY.clear()
+
+
+def test_perf_registry_skips_traced_calls():
+    REGISTRY.clear()
+    cd.perf_report_enable(True)
+    try:
+        grid = cd.make_grid(GridConfig(gdims=(8, 8, 8), pdims=(2, 2)),
+                            devices=jax.devices()[:4])
+        x = jax.device_put(jnp.zeros(grid.global_shape(0)), grid.sharding(0))
+
+        @jax.jit
+        def f(b):
+            return cd.transpose_x_to_y(grid, b)
+
+        f(x)
+        # inside jit the op is traced; no sample must be recorded
+        assert not REGISTRY.rows()
+    finally:
+        cd.perf_report_enable(False)
+        REGISTRY.clear()

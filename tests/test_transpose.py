@@ -165,9 +165,14 @@ def test_empty_pencil_rejected():
 def test_shape_mismatch_rejected():
     grid = make_grid_for((8, 8, 8), (2, 2))
     with pytest.raises(ValueError, match="does not match"):
-        cd.transpose_x_to_y(grid, jnp.zeros((8, 8, 8, 1)))
+        cd.transpose_x_to_y(grid, jnp.zeros((7, 8, 8)))
+    with pytest.raises(ValueError, match="does not match"):
+        cd.transpose_x_to_y(grid, jnp.zeros((8, 8)))  # rank too low
     with pytest.raises(ValueError, match="does not match"):
         cd.transpose_y_to_z(grid, jnp.zeros((4, 4, 4)))
+    # trailing component dims are allowed
+    out = cd.transpose_x_to_y(grid, jnp.zeros((8, 8, 8, 3)))
+    assert out.shape == (8, 8, 8, 3)
 
 
 def test_jit_and_grad():
