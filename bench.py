@@ -39,7 +39,7 @@ def main():
     pdims = (pr, n_dev // pr)
 
     N = 256
-    ITERS = 5
+    ITERS = 2  # keep the scanned HLO small: remote-tunnel compiles are slow
     cfg = GridConfig(gdims=(N, N, N), pdims=pdims,
                      transpose_axis_contiguous=(True, True, True))
     grid = cd.make_grid(cfg, devices=devices)
@@ -51,7 +51,9 @@ def main():
     @jax.jit
     def run(x):
         out, _ = lax.scan(cycle, x, None, length=ITERS)
-        return out
+        # reduce to a scalar: fetching it forces full execution even on
+        # runtimes where block_until_ready returns early (remote tunnels)
+        return jnp.max(jnp.abs(out - x))
 
     x = jax.device_put(
         jax.random.normal(jax.random.PRNGKey(0),
@@ -59,16 +61,15 @@ def main():
         grid.sharding(0))
 
     # correctness gate (reference tolerance 5e-4 single, benchmark.cu:23-27)
-    out = jax.block_until_ready(run(x))
-    err = float(jnp.max(jnp.abs(out - x)))
+    err = float(run(x))
     assert err < 5e-4, f"FFT round-trip max err {err}"
 
-    for _ in range(2):
-        jax.block_until_ready(run(x))
+    for _ in range(1):
+        float(run(x))
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
+        float(run(x))  # scalar fetch = completion barrier
         times.append((time.perf_counter() - t0) / ITERS / 2.0)  # one direction
 
     t = min(times)

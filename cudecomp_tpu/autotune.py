@@ -73,11 +73,16 @@ class AutotuneResult:
 
 def _valid_pdims(cfg: GridConfig, nranks: int,
                  options: AutotuneOptions) -> List[Tuple[int, int]]:
+    from cudecomp_tpu.utils import env as env_util
+    pr_range = options.pr_range or env_util.int_range(
+        "CUDECOMP_TPU_AUTOTUNE_P_ROW_RANGE")
+    pc_range = options.pc_range or env_util.int_range(
+        "CUDECOMP_TPU_AUTOTUNE_P_COL_RANGE")
     out = []
     for pr, pc in geometry.pdim_candidates(nranks):
-        if options.pr_range and not (options.pr_range[0] <= pr <= options.pr_range[1]):
+        if pr_range and not (pr_range[0] <= pr <= pr_range[1]):
             continue
-        if options.pc_range and not (options.pc_range[0] <= pc <= options.pc_range[1]):
+        if pc_range and not (pc_range[0] <= pc <= pc_range[1]):
             continue
         trial = cfg.with_pdims((pr, pc))
         # skip empty-pencil candidates (autotune.cc:334-373)
@@ -176,9 +181,11 @@ def autotune(
     else:
         pdims_cands = [config.pdims]
 
+    from cudecomp_tpu.utils import env as env_util
     if options.autotune_transpose_method:
-        methods = list(options.methods or
-                       (TransposeMethod.ALL_TO_ALL, TransposeMethod.RING))
+        methods = list(options.methods or env_util.filter_candidates(
+            "CUDECOMP_TPU_AUTOTUNE_TRANSPOSE_METHODS",
+            (TransposeMethod.ALL_TO_ALL, TransposeMethod.RING)))
     else:
         methods = [config.transpose_method]
 

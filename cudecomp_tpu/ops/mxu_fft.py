@@ -25,6 +25,7 @@ vendor FFT", built from scratch.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -32,13 +33,34 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-DIRECT_THRESHOLD = 64  # use a single dense DFT matmul at or below this size
+# use a single dense DFT matmul at or below this size (env-overridable for
+# per-platform tuning: larger direct DFTs feed the MXU bigger contractions)
+DIRECT_THRESHOLD = int(os.environ.get("CUDECOMP_TPU_FFT_DIRECT_THRESHOLD", "64"))
 
 _PREC = lax.Precision.HIGHEST
 
 
+def _parse_factor_overrides():
+    """CUDECOMP_TPU_FFT_FACTORS="1024=128x8,512=4x128" per-size overrides."""
+    out = {}
+    spec = os.environ.get("CUDECOMP_TPU_FFT_FACTORS", "")
+    for item in spec.split(","):
+        if "=" in item and "x" in item:
+            n, ab = item.split("=")
+            a, b = ab.split("x")
+            out[int(n)] = (int(a), int(b))
+    return out
+
+_FACTOR_OVERRIDES = _parse_factor_overrides()
+
+
 def _best_factorization(n: int):
-    """Factor n = A * B with A, B as close as possible (A >= B)."""
+    """Factor n = A * B with A, B as close as possible (A >= B), unless an
+    explicit override is configured for this size."""
+    if n in _FACTOR_OVERRIDES:
+        a, b = _FACTOR_OVERRIDES[n]
+        if a * b == n:
+            return a, b
     b = int(math.isqrt(n))
     while n % b:
         b -= 1

@@ -40,6 +40,7 @@ from cudecomp_tpu import geometry
 from cudecomp_tpu.config import TransposeMethod
 from cudecomp_tpu.geometry import _check_extents
 from cudecomp_tpu.parallel.collectives import EXCHANGES, shard_map_fn
+from cudecomp_tpu.ops import pallas_kernels as _pallas_kernels  # registers pallas_a2a
 from cudecomp_tpu.utils.tracing import trace_range
 
 
@@ -103,6 +104,8 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
         raise ValueError(f"unknown transpose method {method_key!r}; "
                          f"available: {sorted(EXCHANGES)}")
     exchange = EXCHANGES[method_key]
+    if method_key == "pallas_a2a":
+        exchange = partial(exchange, mesh=grid.mesh)
 
     expected_in = geometry.global_buffer_shape(cfg, ax, in_halo, in_pad)
     if arr.ndim < 3 or tuple(arr.shape[:3]) != expected_in:

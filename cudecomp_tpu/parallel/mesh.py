@@ -1,0 +1,76 @@
+"""Mesh construction helpers, including hybrid ICI+DCN (multi-slice) meshes.
+
+The reference's topology layer discovers NVLink/NVSwitch nodes and MNNVL
+cliques and schedules intra-group transfers on the fast interconnect while
+pipelining inter-group transfers over IB (``common.h:426-577``,
+``transpose.h:695-709``).  On TPU the same two-tier structure is ICI
+(within a slice) vs DCN (between slices), and the idiomatic expression is a
+mesh whose MAJOR process-grid axis spans DCN and whose MINOR axis stays
+inside a slice: XLA then routes each collective on the right transport
+automatically — the whole intra/inter-group scheduling machinery collapses
+into mesh-axis placement.
+
+``build_decomp_mesh`` places the decomposition so that the *row* axis (Pr,
+used by the X<->Y all-to-all) rides ICI whenever it fits inside one slice,
+since X<->Y moves the densest traffic in the reference's benchmarks, and
+lets Pc absorb the DCN dimension.  On single-slice or CPU platforms it
+degrades to a plain reshape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+from cudecomp_tpu.config import RankOrder
+from cudecomp_tpu.utils.env import log_warn
+
+
+def _slice_index(d) -> int:
+    return getattr(d, "slice_index", 0) or 0
+
+
+def n_slices(devices: Optional[Sequence[jax.Device]] = None) -> int:
+    devices = devices if devices is not None else jax.devices()
+    return len({_slice_index(d) for d in devices})
+
+
+def build_decomp_mesh(
+    pdims: Tuple[int, int],
+    devices: Optional[Sequence[jax.Device]] = None,
+    rank_order: RankOrder = RankOrder.ROW_MAJOR,
+    axis_names: Tuple[str, str] = ("pr", "pc"),
+) -> Mesh:
+    """(Pr, Pc) mesh that is DCN-aware on multi-slice platforms.
+
+    With S slices of equal size, prefers a layout where one process-grid
+    axis is a multiple of S and groups whole slices, so that the other
+    axis's collectives stay entirely on ICI.
+    """
+    pr, pc = pdims
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < pr * pc:
+        raise ValueError(f"need {pr * pc} devices, have {len(devices)}")
+    devices = devices[: pr * pc]
+    s = len({_slice_index(d) for d in devices})
+    if s <= 1:
+        from cudecomp_tpu.grid import build_mesh
+        return build_mesh((pr, pc), devices, rank_order, axis_names)
+
+    # multi-slice: sort devices by (slice, local id) and tile slices along
+    # the axis that divides the slice count
+    devices.sort(key=lambda d: (_slice_index(d), d.id))
+    arr = np.array(devices, dtype=object)
+    if pc % s == 0:
+        # slices tile the column axis: pr-axis collectives (X<->Y) all-ICI
+        grid = arr.reshape(s, pr, pc // s).transpose(1, 0, 2).reshape(pr, pc)
+    elif pr % s == 0:
+        grid = arr.reshape(s, pr // s, pc).reshape(pr, pc)
+    else:
+        log_warn(f"pdims {pdims} not alignable to {s} slices; "
+                 f"collectives may cross DCN on both axes")
+        grid = arr.reshape(pr, pc)
+    return Mesh(grid, axis_names)
