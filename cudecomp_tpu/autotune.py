@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -56,6 +56,23 @@ class AutotuneResult:
     halo_trials: List[TrialRecord] = dataclasses.field(default_factory=list)
     best_halo_method: Optional[HaloMethod] = None
 
+    def save_json(self, path: str):
+        """Persist the tuned choice (+ trial table) so applications can fix
+        the configuration and skip re-tuning — the workflow the reference
+        docs recommend (docs/autotuning.rst:37-38)."""
+        import json
+        payload = {
+            "best_pdims": list(self.best_pdims),
+            "best_method": self.best_method.value,
+            "best_halo_method": (self.best_halo_method.value
+                                 if self.best_halo_method else None),
+            "best_time_s": self.best_time_s,
+            "trials": [dataclasses.asdict(t) for t in self.trials],
+            "halo_trials": [dataclasses.asdict(t) for t in self.halo_trials],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+
     def report(self) -> str:
         """Human-readable trial table (perf-report analog)."""
         lines = ["CUDECOMP_TPU: autotune results (avg s | min s):"]
@@ -69,6 +86,20 @@ class AutotuneResult:
             f"  -> selected pdims={self.best_pdims} "
             f"method={self.best_method.value} ({self.best_time_s:.6f} s)")
         return "\n".join(lines)
+
+
+def load_tuned_config(path: str, base_config: GridConfig) -> GridConfig:
+    """Apply a persisted autotune result to a config (skip re-tuning)."""
+    import json
+    with open(path) as f:
+        payload = json.load(f)
+    cfg = base_config.with_pdims(payload["best_pdims"])
+    cfg = dataclasses.replace(
+        cfg, transpose_method=TransposeMethod(payload["best_method"]))
+    if payload.get("best_halo_method"):
+        cfg = dataclasses.replace(
+            cfg, halo_method=HaloMethod(payload["best_halo_method"]))
+    return cfg
 
 
 def _valid_pdims(cfg: GridConfig, nranks: int,
@@ -185,7 +216,8 @@ def autotune(
     if options.autotune_transpose_method:
         methods = list(options.methods or env_util.filter_candidates(
             "CUDECOMP_TPU_AUTOTUNE_TRANSPOSE_METHODS",
-            (TransposeMethod.ALL_TO_ALL, TransposeMethod.RING)))
+            (TransposeMethod.ALL_TO_ALL, TransposeMethod.RING,
+             TransposeMethod.RING_XOR)))
     else:
         methods = [config.transpose_method]
 

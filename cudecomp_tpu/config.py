@@ -48,6 +48,9 @@ class TransposeMethod(enum.Enum):
     #: reference's pipelined per-peer P2P backends; lets XLA overlap each
     #: step's transfer with the next step's pack and previous step's unpack.
     RING = "ring"
+    #: Pairwise XOR peer schedule (reference's power-of-two pairing,
+    #: common.h:533-577); falls back to RING for non-power-of-two sizes.
+    RING_XOR = "ring_xor"
     #: Pallas kernel all-to-all using direct inter-chip RDMA with fused
     #: pack/unpack (the NVSHMEM analog).  Falls back to ALL_TO_ALL on
     #: non-TPU platforms.

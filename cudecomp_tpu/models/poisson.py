@@ -13,13 +13,12 @@ forward -> scale -> inverse.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cudecomp_tpu import geometry
 from cudecomp_tpu.grid import GridDescriptor
 from cudecomp_tpu.ops.fft import DistributedFFT
 from cudecomp_tpu.utils.tracing import trace_range

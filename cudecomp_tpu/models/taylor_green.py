@@ -19,8 +19,6 @@ the reference validates (``examples/cc/taylor_green/README.md:17-21``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,17 +55,39 @@ def taylor_green_velocity(gdims):
 
 @dataclasses.dataclass(frozen=True)
 class TaylorGreenSolver:
+    """Set ``split_complex=True`` to run the whole solver on the MXU matmul
+    FFT with split-complex spectral state (shape (..., 3, 2)) — no complex
+    dtype support needed (runs on any TPU runtime)."""
+
     grid: GridDescriptor
     nu: float = 1.0 / 100.0  # 1/Re
     dealias: bool = True
+    split_complex: bool = False
+
+    # -- split-complex helpers (last dim = [re, im]) -----------------------------
+
+    def _mul_i(self, w):
+        """i * w for split-complex w."""
+        return jnp.stack([-w[..., 1], w[..., 0]], axis=-1)
+
+    def _kmul(self, k, u):
+        """real wavenumber field k (...,) times component field u."""
+        if self.split_complex:
+            return k[..., None] * u
+        return k * u
 
     def setup(self):
-        """Returns (spectral state uh (..., 3), static fields dict)."""
-        plan = DistributedFFT(grid=self.grid, real=True)
+        """Returns (spectral state uh, static fields dict).  uh has shape
+        (..., 3) complex, or (..., 3, 2) split-complex."""
+        plan = DistributedFFT(grid=self.grid, real=True,
+                              split_complex=self.split_complex)
         cgrid = plan.complex_grid
         gd = self.grid.config.gdims
         u0 = taylor_green_velocity(gd)
         u = jnp.stack([scatter_global(self.grid, c, 0) for c in u0], axis=-1)
+        if self.split_complex:
+            u = u.astype(jnp.float32) if jax.default_backend() not in (
+                "cpu",) else u
         uh = plan.forward(u)
         kx, ky, kz = _spectral_axis_fields(cgrid, gd)
         k2 = kx * kx + ky * ky + kz * kz
@@ -85,25 +105,33 @@ class TaylorGreenSolver:
         return uh, fields
 
     # -- spectral operators ----------------------------------------------------
+    # components live at index -1 (complex) or -2 (split-complex)
 
-    @staticmethod
-    def _curl_hat(uh, f):
+    def _comp(self, uh, c):
+        return uh[..., c, :] if self.split_complex else uh[..., c]
+
+    def _stack_comps(self, comps):
+        axis = -2 if self.split_complex else -1
+        return jnp.stack(comps, axis=axis)
+
+    def _curl_hat(self, uh, f):
         kx, ky, kz = f["kx"], f["ky"], f["kz"]
-        i = 1j
-        wx = i * (ky * uh[..., 2] - kz * uh[..., 1])
-        wy = i * (kz * uh[..., 0] - kx * uh[..., 2])
-        wz = i * (kx * uh[..., 1] - ky * uh[..., 0])
-        return jnp.stack([wx, wy, wz], axis=-1)
+        u0, u1, u2 = (self._comp(uh, c) for c in range(3))
+        wx = self._kmul(ky, u2) - self._kmul(kz, u1)
+        wy = self._kmul(kz, u0) - self._kmul(kx, u2)
+        wz = self._kmul(kx, u1) - self._kmul(ky, u0)
+        mul_i = self._mul_i if self.split_complex else (lambda v: 1j * v)
+        return self._stack_comps([mul_i(wx), mul_i(wy), mul_i(wz)])
 
-    @staticmethod
-    def _project(nh, f):
+    def _project(self, nh, f):
         """Leray projection: nh - k (k . nh) / k^2."""
         kx, ky, kz = f["kx"], f["ky"], f["kz"]
-        div = kx * nh[..., 0] + ky * nh[..., 1] + kz * nh[..., 2]
-        s = div * f["inv_k2"]
-        return jnp.stack([nh[..., 0] - kx * s,
-                          nh[..., 1] - ky * s,
-                          nh[..., 2] - kz * s], axis=-1)
+        n0, n1, n2 = (self._comp(nh, c) for c in range(3))
+        div = self._kmul(kx, n0) + self._kmul(ky, n1) + self._kmul(kz, n2)
+        s = self._kmul(f["inv_k2"], div)
+        return self._stack_comps([n0 - self._kmul(kx, s),
+                                  n1 - self._kmul(ky, s),
+                                  n2 - self._kmul(kz, s)])
 
     def _rhs(self, uh, f):
         plan: DistributedFFT = f["plan"]
@@ -117,9 +145,15 @@ class TaylorGreenSolver:
                 u[..., 0] * w[..., 1] - u[..., 1] * w[..., 0],
             ], axis=-1)                               # u x w
             nh = plan.forward(nl)
-            nh = nh * f["mask"][..., None]
+            mask = f["mask"]
+            visc = f["k2"]
+            if self.split_complex:
+                nh = nh * mask[..., None, None]
+                nh = self._project(nh, f)
+                return nh - self.nu * visc[..., None, None] * uh
+            nh = nh * mask[..., None]
             nh = self._project(nh, f)
-            return nh - self.nu * f["k2"][..., None] * uh
+            return nh - self.nu * visc[..., None] * uh
 
     def step(self, uh, f, dt):
         """One RK4 step in spectral space."""

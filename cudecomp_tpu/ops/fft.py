@@ -30,13 +30,9 @@ Normalization follows jnp.fft (inverse scales by 1/N), so
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from cudecomp_tpu import geometry
 from cudecomp_tpu.config import GridConfig
 from cudecomp_tpu.grid import GridDescriptor
 from cudecomp_tpu.ops import transpose as tr

@@ -27,7 +27,8 @@ extents.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from functools import lru_cache
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,27 @@ def update_halos(grid, arr, axis: int, halo_extents, halo_periods,
 
 
 def _update_dim(grid, arr, axis, d, halo, periodic, pad):
+    fn = _build_halo_fn(grid, axis, d, halo, bool(periodic), pad, arr.ndim - 3)
+    cfg = grid.config
+    ms = geometry.max_splits(cfg, axis)
+    h = halo[d]
+    i_d = cfg.inv_mem_order(axis)[d]
+
+    def perf_key():
+        other = [ms[g] for g in range(3) if g != d]
+        slab = h * other[0] * other[1]  # one face slab, per direction
+        key = (f"update_halos_axis{axis}_dim{d}", cfg.gdims, cfg.pdims,
+               cfg.halo_method.value, str(arr.dtype), tuple(halo), periodic)
+        return key, int(2 * slab * arr.dtype.itemsize)
+
+    from cudecomp_tpu import performance as perf
+    return perf.maybe_record(perf_key, fn, arr)
+
+
+@lru_cache(maxsize=512)
+def _build_halo_fn(grid, axis, d, halo, periodic, pad, n_comp_dims):
+    """Build (and cache) the jitted shard_map program for one halo-update
+    configuration (plan-cache analog, see transpose._build_transpose_fn)."""
     cfg = grid.config
     h = halo[d]
     order = cfg.mem_order(axis)
@@ -158,15 +180,6 @@ def _update_dim(grid, arr, axis, d, halo, periodic, pad):
         return local
 
     spec = jax.sharding.PartitionSpec(
-        *(tuple(grid.spec(axis)) + (None,) * (arr.ndim - 3)))
+        *(tuple(grid.spec(axis)) + (None,) * n_comp_dims))
     fn = shard_map_fn(local_fn, grid.mesh, in_specs=(spec,), out_specs=spec)
-
-    def perf_key():
-        other = [ms[g] for g in range(3) if g != d]
-        slab = h * other[0] * other[1]  # one face slab, per direction
-        key = (f"update_halos_axis{axis}_dim{d}", cfg.gdims, cfg.pdims,
-               cfg.halo_method.value, str(arr.dtype), tuple(halo), periodic)
-        return key, int(2 * slab * arr.dtype.itemsize)
-
-    from cudecomp_tpu import performance as perf
-    return perf.maybe_record(perf_key, fn, arr)
+    return jax.jit(fn)

@@ -21,6 +21,8 @@ reference, by design:
     the pad-to-max analog of the reference's max-pencil workspace sizing.
   * The backend choice collapses to :class:`TransposeMethod` (all_to_all /
     ring / pallas_a2a), see ``parallel.collectives``.
+  * Compiled programs are cached per configuration (``_build_transpose_fn``)
+    — the analog of the reference's CUDA-graph cache (graph.h:37-51).
 
 All ops are jittable, differentiable, and usable on sub-meshes of larger
 training meshes.  Input/output halo extents and padding are supported per-op
@@ -29,8 +31,8 @@ exactly like the reference API (``include/cudecomp.h:545-660``).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
+from functools import lru_cache, partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -61,19 +63,20 @@ def _add_halos_padding(local, order, halo, pad):
     return jnp.pad(local, widths + ((0, 0),) * (local.ndim - 3))
 
 
-def _transpose_impl(grid, arr, ax: int, dir_: int,
-                    input_halo_extents, output_halo_extents,
-                    input_padding, output_padding,
-                    method: Optional[TransposeMethod]):
+@lru_cache(maxsize=512)
+def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
+                        in_pad, out_pad, method_key: str, n_comp_dims: int):
+    """Build (and cache) the jitted shard_map program for one transpose
+    configuration.
+
+    This is the analog of the reference's CUDA-graph cache
+    (``include/internal/graph.h:37-51``, keyed on pointers/axis/dir/pencil
+    infos/dtype): repeated eager calls with the same configuration reuse the
+    compiled program instead of re-tracing — without it, every eager
+    transpose would re-trace, since shard_map caches on callable identity.
+    """
     cfg = grid.config
     ax_out = ax + dir_
-    assert 0 <= ax_out <= 2
-    in_halo = _check_extents(input_halo_extents, "input_halo_extents")
-    out_halo = _check_extents(output_halo_extents, "output_halo_extents")
-    in_pad = _check_extents(input_padding, "input_padding")
-    out_pad = _check_extents(output_padding, "output_padding")
-    if method is None:
-        method = cfg.transpose_method
 
     comm_pd = 0 if min(ax, ax_out) == 0 else 1
     comm_name = grid.comm_axis_name(ax, dir_)
@@ -83,7 +86,6 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
     out_order = cfg.mem_order(ax_out)
     in_inv = cfg.inv_mem_order(ax)
     ms_in = geometry.max_splits(cfg, ax)
-    ms_out = geometry.max_splits(cfg, ax_out)
 
     # scatter dim: full in input, sharded in output; gather dim: vice versa.
     scatter_dim, gather_dim = ax, ax_out
@@ -94,27 +96,15 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
         raise ValueError(
             f"transpose axis {ax}->{ax_out}: empty pencil (splits "
             f"{splits_scatter} / {splits_gather}); reduce pdims")
-    off_scatter = geometry.get_split_offsets(cfg.effective_gdims_dist[scatter_dim], P)
-    Bs = max(splits_scatter)           # == ms_out[scatter_dim]
+    off_scatter = geometry.get_split_offsets(
+        cfg.effective_gdims_dist[scatter_dim], P)
+    Bs = max(splits_scatter)           # == max_splits(out)[scatter_dim]
     Bg = max(splits_gather)            # == ms_in[gather_dim]
     even = (splits_scatter == (Bs,) * P) and (splits_gather == (Bg,) * P)
 
-    method_key = method.value if isinstance(method, TransposeMethod) else str(method)
-    if method_key not in EXCHANGES:
-        raise ValueError(f"unknown transpose method {method_key!r}; "
-                         f"available: {sorted(EXCHANGES)}")
     exchange = EXCHANGES[method_key]
     if method_key == "pallas_a2a":
         exchange = partial(exchange, mesh=grid.mesh)
-
-    expected_in = geometry.global_buffer_shape(cfg, ax, in_halo, in_pad)
-    if arr.ndim < 3 or tuple(arr.shape[:3]) != expected_in:
-        raise ValueError(
-            f"transpose {ax}->{ax_out}: input shape {tuple(arr.shape)} does not "
-            f"match pencil-{('x','y','z')[ax]} layout {expected_in} "
-            f"(halos {in_halo}, padding {in_pad}; trailing component dims "
-            f"are allowed)")
-    n_comp_dims = arr.ndim - 3
 
     comp_axes = tuple(range(3, 3 + n_comp_dims))
 
@@ -134,7 +124,8 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
                 chunks = []
                 for p in range(P):
                     c = lax.slice_in_dim(tm, off_scatter[p],
-                                         off_scatter[p] + splits_scatter[p], axis=0)
+                                         off_scatter[p] + splits_scatter[p],
+                                         axis=0)
                     if splits_scatter[p] < Bs:
                         padw = [(0, 0)] * c.ndim
                         padw[0] = (0, Bs - splits_scatter[p])
@@ -162,11 +153,48 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
 
     comp_spec = (None,) * n_comp_dims
     in_spec = jax.sharding.PartitionSpec(*(tuple(grid.spec(ax)) + comp_spec))
-    out_spec = jax.sharding.PartitionSpec(*(tuple(grid.spec(ax_out)) + comp_spec))
+    out_spec = jax.sharding.PartitionSpec(
+        *(tuple(grid.spec(ax_out)) + comp_spec))
     fn = shard_map_fn(local_fn, grid.mesh, in_specs=(in_spec,),
                       out_specs=out_spec)
+    return jax.jit(fn)
+
+
+def _transpose_impl(grid, arr, ax: int, dir_: int,
+                    input_halo_extents, output_halo_extents,
+                    input_padding, output_padding,
+                    method: Optional[TransposeMethod]):
+    cfg = grid.config
+    ax_out = ax + dir_
+    assert 0 <= ax_out <= 2
+    in_halo = _check_extents(input_halo_extents, "input_halo_extents")
+    out_halo = _check_extents(output_halo_extents, "output_halo_extents")
+    in_pad = _check_extents(input_padding, "input_padding")
+    out_pad = _check_extents(output_padding, "output_padding")
+    if method is None:
+        method = cfg.transpose_method
+    method_key = (method.value if isinstance(method, TransposeMethod)
+                  else str(method))
+    if method_key not in EXCHANGES:
+        raise ValueError(f"unknown transpose method {method_key!r}; "
+                         f"available: {sorted(EXCHANGES)}")
+
+    expected_in = geometry.global_buffer_shape(cfg, ax, in_halo, in_pad)
+    if arr.ndim < 3 or tuple(arr.shape[:3]) != expected_in:
+        raise ValueError(
+            f"transpose {ax}->{ax_out}: input shape {tuple(arr.shape)} does "
+            f"not match pencil-{('x','y','z')[ax]} layout {expected_in} "
+            f"(halos {in_halo}, padding {in_pad}; trailing component dims "
+            f"are allowed)")
+
+    fn = _build_transpose_fn(grid, ax, dir_, in_halo, out_halo, in_pad,
+                             out_pad, method_key, arr.ndim - 3)
+
     names = ("x", "y", "z")
     op_name = f"transpose_{names[ax]}_to_{names[ax_out]}"
+    comm_pd = 0 if min(ax, ax_out) == 0 else 1
+    P = cfg.pdims[comm_pd]
+    ms_in = geometry.max_splits(cfg, ax)
 
     def perf_key():
         # per-chip a2a payload: everything but the self block leaves the chip

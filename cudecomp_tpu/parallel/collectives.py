@@ -50,7 +50,7 @@ def exchange_ring(blocks, axis_name: str, n: int, block: int):
 
     Step ``s`` sends block ``(me+s) % n`` to peer ``(me+s) % n`` and receives
     the matching block from peer ``(me-s) % n``.  The self block is a local
-    copy.  Mirrors the peer-ordering idea of ``getAlltoallPeerRanks``
+    copy.  Mirrors the ring peer ordering of ``getAlltoallPeerRanks``
     (common.h:533-577); on a TPU torus each step is a collective-permute that
     rides ICI neighbor links.
     """
@@ -69,8 +69,32 @@ def exchange_ring(blocks, axis_name: str, n: int, block: int):
     return out
 
 
+def exchange_ring_xor(blocks, axis_name: str, n: int, block: int):
+    """Pairwise-exchange ring using the XOR peer schedule.
+
+    The reference pairs peers as ``me ^ s`` per step for power-of-two
+    communicators (``getAlltoallPeerRanks`` common.h:533-577) so every step
+    is a symmetric pairwise swap (each link used bidirectionally at once).
+    Falls back to the increment ring for non-power-of-two sizes.
+    """
+    if n & (n - 1):
+        return exchange_ring(blocks, axis_name, n, block)
+    me = lax.axis_index(axis_name)
+    out = jnp.zeros_like(blocks)
+    self_blk = lax.dynamic_slice_in_dim(blocks, me * block, block, axis=0)
+    out = lax.dynamic_update_slice_in_dim(out, self_blk, me * block, axis=0)
+    for s in range(1, n):
+        peer = me ^ s
+        blk = lax.dynamic_slice_in_dim(blocks, peer * block, block, axis=0)
+        perm = [(j, j ^ s) for j in range(n)]
+        recv = lax.ppermute(blk, axis_name, perm)
+        out = lax.dynamic_update_slice_in_dim(out, recv, peer * block, axis=0)
+    return out
+
+
 EXCHANGES = {
     "all_to_all": exchange_all_to_all,
     "ring": exchange_ring,
+    "ring_xor": exchange_ring_xor,
     # pallas_a2a is registered lazily by ops.pallas_kernels when available
 }

@@ -27,8 +27,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from collections import defaultdict
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 import jax

@@ -13,8 +13,6 @@ These helpers are for IO and testing; the hot path never leaves devices.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 import jax
 

@@ -13,7 +13,6 @@ scatter/gather pair honest.
 from __future__ import annotations
 
 import numpy as np
-import jax
 
 from cudecomp_tpu import geometry
 
@@ -64,7 +63,6 @@ def expected_halo_buffer(grid, axis, x_global, halo_extents, halo_periods,
     """Host-computed expected buffer after halo updates along ``dims``:
     interior plus halo faces filled from (periodic) global data; non-periodic
     boundary halos stay zero (their original scatter-time content)."""
-    from cudecomp_tpu.utils import arrays as A
     cfg = grid.config
     halo = geometry._check_extents(halo_extents, "halo_extents")
     pad = geometry._check_extents(padding, "padding")

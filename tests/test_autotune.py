@@ -64,3 +64,16 @@ def test_make_grid_runs_autotune():
     opts = AutotuneOptions(n_warmup=0, n_trials=1)
     grid = cd.make_grid(cfg, devices=jax.devices()[:4], autotune_options=opts)
     assert grid.config.pdims[0] * grid.config.pdims[1] == 4
+
+
+def test_save_and_load_tuned_config(tmp_path):
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.autotune import load_tuned_config
+    cfg = cd.GridConfig(gdims=(16, 16, 16))
+    opts = cd.AutotuneOptions(n_warmup=0, n_trials=1)
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts)
+    p = str(tmp_path / "tuned.json")
+    result.save_json(p)
+    cfg2 = load_tuned_config(p, cfg)
+    assert cfg2.pdims == result.best_pdims
+    assert cfg2.transpose_method == result.best_method

@@ -125,3 +125,12 @@ def test_taylor_green_divergence_free():
     div = (f["kx"] * uh[..., 0] + f["ky"] * uh[..., 1]
            + f["kz"] * uh[..., 2])
     assert float(jnp.max(jnp.abs(div))) < 1e-10
+
+def test_taylor_green_split_complex_matches_complex():
+    gd = (16, 16, 16)
+    grid = make_grid_for(gd, (2, 2))
+    nu, dt, n_steps = 0.01, 0.01, 2
+    _, hist_c = TaylorGreenSolver(grid=grid, nu=nu).run(n_steps, dt)
+    _, hist_sc = TaylorGreenSolver(grid=grid, nu=nu,
+                                   split_complex=True).run(n_steps, dt)
+    np.testing.assert_allclose(hist_sc, hist_c, rtol=1e-10)

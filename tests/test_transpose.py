@@ -195,3 +195,11 @@ def test_jit_and_grad():
     g = jax.grad(loss)(buf)
     np.testing.assert_allclose(np.asarray(jax.device_get(g)),
                                2 * np.asarray(jax.device_get(buf)))
+
+
+@pytest.mark.parametrize("pdims", [(4, 1), (2, 4), (3, 1)])
+def test_ring_xor_schedule(pdims):
+    # XOR pairwise schedule for power-of-two sizes; increment-ring fallback
+    # for the (3,1) non-power-of-two case
+    roundtrip_check(make_grid_for((8, 9, 10), pdims),
+                    method=cd.TransposeMethod.RING_XOR)
