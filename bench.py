@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def main():
+def main(N: int = 256, ITERS: int = 2, n_trials: int = 3):
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
@@ -38,8 +38,6 @@ def main():
         pr -= 1
     pdims = (pr, n_dev // pr)
 
-    N = 256
-    ITERS = 2  # keep the scanned HLO small: remote-tunnel compiles are slow
     cfg = GridConfig(gdims=(N, N, N), pdims=pdims,
                      transpose_axis_contiguous=(True, True, True))
     grid = cd.make_grid(cfg, devices=devices)
@@ -67,7 +65,7 @@ def main():
     for _ in range(1):
         float(run(x))
     times = []
-    for _ in range(3):
+    for _ in range(n_trials):
         t0 = time.perf_counter()
         float(run(x))  # scalar fetch = completion barrier
         times.append((time.perf_counter() - t0) / ITERS / 2.0)  # one direction

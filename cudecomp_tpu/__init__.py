@@ -59,7 +59,8 @@ from cudecomp_tpu.ops import fft
 from cudecomp_tpu.ops.fft import DistributedFFT, fft3d, ifft3d
 from cudecomp_tpu.autotune import autotune, AutotuneResult
 from cudecomp_tpu import performance
-from cudecomp_tpu.performance import perf_report_enable
+from cudecomp_tpu.performance import perf_report_enable, profile_trace
+from cudecomp_tpu.utils import checkpoint
 from cudecomp_tpu.utils.arrays import (
     scatter_global,
     gather_global,
@@ -98,6 +99,8 @@ __all__ = [
     "AutotuneResult",
     "performance",
     "perf_report_enable",
+    "profile_trace",
+    "checkpoint",
     "scatter_global",
     "gather_global",
     "valid_interior_mask",

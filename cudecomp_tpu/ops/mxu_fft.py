@@ -48,7 +48,26 @@ def _direct_threshold() -> int:
         return int(env)
     return 64 if jax.default_backend() in ("cpu",) else 512
 
-_PREC = lax.Precision.HIGHEST
+def _precision():
+    """Matmul precision for the DFT contractions.
+
+    float32 data: HIGHEST = full f32 (6-pass bf16 emulation), HIGH = 3-pass
+    bf16x3 (~1e-6 relative error, comfortably within the reference's 5e-4
+    single-precision FFT tolerance, benchmark.cu:23-27) at ~2x the MXU
+    throughput.  float64 (CPU testing) always uses HIGHEST.
+    Env: CUDECOMP_TPU_FFT_PRECISION=default|high|highest.
+    """
+    env = os.environ.get("CUDECOMP_TPU_FFT_PRECISION", "").lower()
+    if env == "default":
+        return lax.Precision.DEFAULT
+    if env == "high":
+        return lax.Precision.HIGH
+    if env == "highest":
+        return lax.Precision.HIGHEST
+    return lax.Precision.HIGHEST
+
+
+_PREC = None  # resolved per call via _precision(); kept for monkeypatching
 
 
 def _parse_factor_overrides():
@@ -98,9 +117,23 @@ def _twiddle(a: int, b: int, inverse: bool, dtype_name: str):
             (sign * np.sin(ang)).astype(dtype_name))
 
 
-def _cmatmul(xr, xi, mr, mi):
-    """Complex (x @ M) on split parts over the last dim of x: 4 real matmuls."""
-    dot = partial(jnp.einsum, "...n,nk->...k", precision=_PREC)
+def _use_gauss() -> bool:
+    """Gauss/Karatsuba complex multiply: 3 real matmuls instead of 4 (25%
+    fewer MXU flops, a few extra VPU adds).  Env: CUDECOMP_TPU_FFT_GAUSS=1."""
+    return os.environ.get("CUDECOMP_TPU_FFT_GAUSS", "0") == "1"
+
+
+def _cmatmul(xr, xi, mr, mi, eq="...n,nk->...k"):
+    """Complex contraction (x @ M) on split parts: 4 real matmuls, or 3 with
+    the Gauss form:  k1=(xr+xi)C, k2=xr(S-C), k3=xi(C+S);
+    y_r = k1 - k3, y_i = k1 + k2  (C=mr, S=mi; matrices are constants so the
+    combinations fold at compile time)."""
+    dot = partial(jnp.einsum, eq, precision=(_PREC or _precision()))
+    if _use_gauss():
+        k1 = dot(xr + xi, mr)
+        k2 = dot(xr, mi - mr)
+        k3 = dot(xi, mr + mi)
+        return (k1 - k3, k1 + k2)
     return (dot(xr, mr) - dot(xi, mi), dot(xr, mi) + dot(xi, mr))
 
 
@@ -121,9 +154,8 @@ def _fft_core(xr, xi, inverse: bool):
     vi = xi.reshape(batch + (b, a))
     # step 1: B-point DFTs over b_ for each a_: y[a_, k2]
     cb, sb = _dft_mats(b, inverse, dt)
-    dot_b = partial(jnp.einsum, "...ba,bk->...ak", precision=_PREC)
-    yr = dot_b(vr, jnp.asarray(cb)) - dot_b(vi, jnp.asarray(sb))
-    yi = dot_b(vr, jnp.asarray(sb)) + dot_b(vi, jnp.asarray(cb))
+    yr, yi = _cmatmul(vr, vi, jnp.asarray(cb), jnp.asarray(sb),
+                      eq="...ba,bk->...ak")
     # step 2: twiddle W_N^{a_ k2}
     tc, ts = _twiddle(a, b, inverse, dt)
     tc = jnp.asarray(tc)
@@ -140,9 +172,8 @@ def _fft_core(xr, xi, inverse: bool):
         outi = jnp.swapaxes(oi_, -2, -1)
     else:
         ca, sa = _dft_mats(a, inverse, dt)
-        dot_a = partial(jnp.einsum, "...ak,aK->...Kk", precision=_PREC)
-        outr = dot_a(zr, jnp.asarray(ca)) - dot_a(zi, jnp.asarray(sa))
-        outi = dot_a(zr, jnp.asarray(sa)) + dot_a(zi, jnp.asarray(ca))
+        outr, outi = _cmatmul(zr, zi, jnp.asarray(ca), jnp.asarray(sa),
+                              eq="...ak,aK->...Kk")
     return outr.reshape(batch + (n,)), outi.reshape(batch + (n,))
 
 

@@ -24,6 +24,7 @@ Timing helpers for benchmarking (warmup + trials with
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -142,6 +143,15 @@ def maybe_record(key_fn: Callable, run_fn: Callable, arr):
     key, nbytes = key_fn()
     REGISTRY.record(key, ms, nbytes)
     return out
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a jax.profiler trace around a region — the deep-inspection
+    analog of the reference's NVTX+Nsight workflow.  View with
+    ``tensorboard --logdir <log_dir>`` or Perfetto."""
+    with jax.profiler.trace(log_dir):
+        yield
 
 
 # ---------------------------------------------------------------------------
