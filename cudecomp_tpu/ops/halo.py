@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cudecomp_tpu import geometry
+from cudecomp_tpu.config import HaloMethod
 from cudecomp_tpu.geometry import _check_extents
 from cudecomp_tpu.parallel.collectives import shard_map_fn
 from cudecomp_tpu.utils.tracing import trace_range
@@ -150,6 +151,13 @@ def _build_halo_fn(grid, axis, d, halo, periodic, pad, n_comp_dims):
             return local
 
         name = grid.axis_names[pd]
+        if (cfg.halo_method == HaloMethod.PALLAS and not uneven):
+            from cudecomp_tpu.ops.pallas_kernels import halo_exchange_pallas
+            out = halo_exchange_pallas(local, name, P, h, m, i_d, periodic,
+                                       mesh=grid.mesh)
+            if out is not None:
+                return out
+            # platform without pallas RDMA: fall through to ppermute
         me = lax.axis_index(name)
         v = valid_extent()
 

@@ -141,3 +141,157 @@ def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
 
 if _HAS_PALLAS:
     _coll.EXCHANGES.setdefault("pallas_a2a", exchange_pallas_a2a)
+
+
+# ---------------------------------------------------------------------------
+# local permute kernel (cuTENSOR analog)
+# ---------------------------------------------------------------------------
+
+def _transpose2d_kernel(x_ref, out_ref):
+    out_ref[...] = x_ref[...].T
+
+
+def pallas_transpose2d(x, tm: int = 256, tn: int = 256, interpret=False):
+    """Tiled 2D transpose (M, N) -> (N, M) through VMEM.
+
+    The engine's local permutes between cyclic memory orders are exactly one
+    large 2D transpose: a cyclic 3D permutation keeps two adjacent dims
+    together, so ``(I, J, K) -> (J, K, I)`` is ``(I, J*K) -> (J*K, I)``.
+    This kernel is the cuTENSOR-permute analog (``localPermute``,
+    transpose.h:80-157) for the hot single-chip path.
+    """
+    M, N = x.shape
+    tm = min(tm, M)
+    tn = min(tn, N)
+    if M % tm or N % tn:
+        return x.T  # ragged tail: let XLA handle it
+    grid = (M // tm, N // tn)
+    return pl.pallas_call(
+        _transpose2d_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, M), x.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((tm, tn), lambda i, j: (i, j))],
+        out_specs=pl.BlockSpec((tn, tm), lambda i, j: (j, i)),
+        interpret=interpret,
+    )(x)
+
+
+def pallas_cyclic_permute(x, perm, interpret=False):
+    """Cyclic 3D permutation via the tiled 2D-transpose kernel.
+
+    perm (1, 2, 0): out[a,b,c] = x[c,a,b]  -> view (I, J*K) -> transpose.
+    perm (2, 0, 1): out[a,b,c] = x[b,c,a]  -> view (I*J, K) -> transpose.
+    Other perms (or non-TPU platforms) fall back to jnp.transpose.
+    """
+    import jax.numpy as jnp
+    if x.ndim != 3 or (not interpret and jax.default_backend() in
+                       ("cpu", "gpu")):
+        return jnp.transpose(x, perm)
+    I, J, K = x.shape
+    if tuple(perm) == (1, 2, 0):
+        out = pallas_transpose2d(x.reshape(I, J * K), interpret=interpret)
+        return out.reshape(J, K, I)
+    if tuple(perm) == (2, 0, 1):
+        out = pallas_transpose2d(x.reshape(I * J, K), interpret=interpret)
+        return out.reshape(K, I, J)
+    return jnp.transpose(x, perm)
+
+
+# ---------------------------------------------------------------------------
+# halo exchange kernel (HaloMethod.PALLAS)
+# ---------------------------------------------------------------------------
+
+def _sl(ndim, i_d, start, size):
+    """Index tuple slicing dim ``i_d`` as [start, start+size)."""
+    return tuple(slice(None) for _ in range(i_d)) + (pl.ds(start, size),)
+
+
+def _halo_kernel(x_ref, out_ref, send_sems, recv_sems,
+                 *, P, h, m, i_d, ndim, axis_name, mesh_axes):
+    """Periodic one-sided halo ring exchange along array dim ``i_d``: each
+    device puts its low interior slab [h, 2h) into the left neighbor\'s
+    high-halo slot [h+m, h+m+h), and its high interior slab [m, m+h) into
+    the right neighbor\'s low-halo slot [0, h).  Requires even splits
+    (interior extent == m on every shard).  x_ref is aliased to out_ref
+    (in-place: only halo slots are written, by remote peers).
+
+    Non-periodic boundaries are handled functionally by the caller (edge
+    halos restored after the ring exchange) so the kernel stays branch-free
+    — predicated remote DMAs are not portable across lowerings."""
+    me = lax.axis_index(axis_name)
+    left = (me - 1) % P
+    right = (me + 1) % P
+
+    # -> right neighbor\'s low halo
+    to_right = pltpu.make_async_remote_copy(
+        src_ref=out_ref.at[_sl(ndim, i_d, m, h)],      # high interior slab
+        dst_ref=out_ref.at[_sl(ndim, i_d, 0, h)],
+        send_sem=send_sems.at[0],
+        recv_sem=recv_sems.at[0],
+        **_peer_device_id(mesh_axes, axis_name, right),
+    )
+    # -> left neighbor\'s high halo
+    to_left = pltpu.make_async_remote_copy(
+        src_ref=out_ref.at[_sl(ndim, i_d, h, h)],      # low interior slab
+        dst_ref=out_ref.at[_sl(ndim, i_d, h + m, h)],
+        send_sem=send_sems.at[1],
+        recv_sem=recv_sems.at[1],
+        **_peer_device_id(mesh_axes, axis_name, left),
+    )
+    to_right.start()
+    to_left.start()
+    to_right.wait()
+    to_left.wait()
+
+
+def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
+                         i_d: int, periodic: bool, mesh=None, interpret=None):
+    """In-place halo exchange via RDMA puts.  Even splits only (the caller
+    falls back to the ppermute path otherwise)."""
+    if interpret is None:
+        import os
+        interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
+    if mesh is not None:
+        mesh_axes = tuple((name, mesh.shape[name]) for name in mesh.axis_names)
+    else:
+        mesh_axes = ((axis_name, P),)
+    if (not interpret and not pallas_a2a_available()) or (
+            interpret and len(mesh_axes) > 1):
+        return None  # caller falls back
+    import jax.numpy as jnp
+
+    kernel = functools.partial(_halo_kernel, P=P, h=h, m=m, i_d=i_d,
+                               ndim=local.ndim,
+                               axis_name=axis_name, mesh_axes=mesh_axes)
+    idx_lo = _sl(local.ndim, i_d, 0, h)
+    idx_hi = _sl(local.ndim, i_d, h + m, h)
+    if not periodic:
+        # save edge halos before the ring exchange (functional: reads see
+        # pre-kernel values)
+        save_lo = local[tuple(slice(0, h) if d == i_d else slice(None)
+                              for d in range(local.ndim))]
+        save_hi = local[tuple(slice(h + m, h + m + h) if d == i_d
+                              else slice(None) for d in range(local.ndim))]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(local.shape, local.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=8),
+        interpret=interpret,
+    )(local)
+    if not periodic:
+        me = lax.axis_index(axis_name)
+        lo_slc = tuple(slice(0, h) if d == i_d else slice(None)
+                       for d in range(local.ndim))
+        hi_slc = tuple(slice(h + m, h + m + h) if d == i_d else slice(None)
+                       for d in range(local.ndim))
+        out = out.at[lo_slc].set(jnp.where(me == 0, save_lo, out[lo_slc]))
+        out = out.at[hi_slc].set(jnp.where(me == P - 1, save_hi, out[hi_slc]))
+    return out

@@ -82,3 +82,56 @@ def test_pallas_falls_back_off_tpu():
     x = cd.scatter_global(grid, f, 0)
     y = cd.transpose_x_to_y(grid, x, method=TransposeMethod.PALLAS_A2A)
     np.testing.assert_allclose(cd.gather_global(grid, y, 1), f)
+
+
+def test_pallas_halo_kernel_1d_mesh():
+    # validate the RDMA halo kernel protocol on a 1D mesh in interpret mode
+    from cudecomp_tpu.ops.pallas_kernels import halo_exchange_pallas
+    n, h, m = 4, 2, 6
+    mesh = Mesh(np.array(jax.devices()[:n]), ("x",))
+    # buffer layout along dim0: [low h][interior m][high h]
+    rng = np.random.default_rng(1)
+    host = rng.standard_normal((n * (m + 2 * h), 5)).astype(np.float32)
+    x = jnp.asarray(host)
+
+    def ref_fn(local, periodic):
+        me = jax.lax.axis_index("x")
+        lo = local[h:2 * h]
+        hi = local[m:m + h]
+        fwd = [(j, j + 1) for j in range(n - 1)]
+        bwd = [(j + 1, j) for j in range(n - 1)]
+        if periodic:
+            fwd.append((n - 1, 0))
+            bwd.append((0, n - 1))
+        from_left = jax.lax.ppermute(hi, "x", fwd)
+        from_right = jax.lax.ppermute(lo, "x", bwd)
+        if not periodic:
+            from_left = jnp.where(me == 0, local[0:h], from_left)
+            from_right = jnp.where(me == n - 1, local[h + m:], from_right)
+        local = local.at[0:h].set(from_left)
+        return local.at[h + m:h + m + h].set(from_right)
+
+    for periodic in (True, False):
+        ref = shard_map_fn(lambda v: ref_fn(v, periodic),
+                           mesh, (P("x"),), P("x"))(x)
+        got = shard_map_fn(
+            lambda v: halo_exchange_pallas(v, "x", n, h, m, 0,
+                                           periodic, interpret=True),
+            mesh, (P("x"),), P("x"))(x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got),
+                                      err_msg=f"periodic={periodic}")
+
+
+def test_halo_method_pallas_engine_fallback():
+    # HaloMethod.PALLAS on CPU (no RDMA): falls back to ppermute, same result
+    from cudecomp_tpu.config import HaloMethod
+    cfg = GridConfig(gdims=(8, 8, 8), pdims=(2, 2),
+                     halo_method=HaloMethod.PALLAS)
+    grid = cd.make_grid(cfg, devices=jax.devices()[:4])
+    f = T.global_index_field((8, 8, 8))
+    he = (1, 1, 1)
+    b = cd.scatter_global(grid, f, 0, halo_extents=he)
+    out = cd.update_halos(grid, b, 0, he, (True, True, True))
+    exp = T.expected_halo_buffer(grid, 0, f, he, (True, True, True),
+                                 dims=[0, 1, 2])
+    np.testing.assert_allclose(np.asarray(jax.device_get(out)), exp)
