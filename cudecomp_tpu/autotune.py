@@ -23,7 +23,6 @@ analog of the autotuned config copied back to the caller
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -102,6 +101,17 @@ def load_tuned_config(path: str, base_config: GridConfig) -> GridConfig:
     return cfg
 
 
+def _complex_supported(device) -> bool:
+    """Probe whether the device's runtime implements complex dtypes (some
+    experimental TPU runtimes do not)."""
+    try:
+        out = jax.device_put(np.zeros((1,), np.complex64), device)
+        np.asarray(out)  # force materialization
+        return True
+    except Exception:
+        return False
+
+
 def _valid_pdims(cfg: GridConfig, nranks: int,
                  options: AutotuneOptions) -> List[Tuple[int, int]]:
     from cudecomp_tpu.utils import env as env_util
@@ -129,64 +139,99 @@ def _valid_pdims(cfg: GridConfig, nranks: int,
     return out
 
 
+def _allreduce_trials(times: List[float]) -> List[float]:
+    """Cross-host reduction of trial times (autotune.cc:167-188 analog).
+
+    On a multi-controller deployment every process times the same globally
+    collective trials, but wall clocks differ; averaging across processes
+    makes every host score candidates identically, so the argmin selection
+    is itself a deterministic broadcast (the analog of the reference's
+    rank-0 bcast of the winner, autotune.cc:731-736)."""
+    if jax.process_count() == 1:
+        return times
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.asarray(times))
+    return [float(t) for t in np.asarray(gathered).reshape(
+        jax.process_count(), -1).mean(axis=0)]
+
+
 def _time_roundtrip(grid: GridDescriptor, dtype, weights,
                     n_warmup: int, n_trials: int,
-                    skip_after_first_above: Optional[float]) -> Tuple[List[float], bool]:
-    """Weighted 4-op round-trip timings; returns (trial times, skipped)."""
+                    skip_after_first_above: Optional[float],
+                    iters: int = 2) -> Tuple[List[float], bool]:
+    """Weighted 4-op round-trip timings (forced completion); returns
+    (per-trial weighted seconds, skipped).
+
+    The round trip runs ``iters`` times inside one jit ending in a scalar
+    reduction (see ``performance.time_scanned``) — ``block_until_ready`` is
+    not a reliable barrier on this runtime (BENCH_NOTES.md).  With uniform
+    weights one chained program is timed (the reference's ``at_results``
+    round-trip semantics, autotune.cc:546-626); with non-uniform weights the
+    X<->Y and Y<->Z pairs are timed as separate chained programs and
+    combined with the pair-averaged weights.
+    """
+    from cudecomp_tpu import performance as perf
     from cudecomp_tpu.ops import transpose as tr
 
     cfg = grid.config
-    x = jnp.zeros(geometry.global_buffer_shape(cfg, 0), dtype=dtype)
-    x = jax.device_put(x, grid.sharding(0))
+    x = jax.device_put(np.zeros(geometry.global_buffer_shape(cfg, 0),
+                                dtype=np.dtype(dtype)), grid.sharding(0))
+    m = cfg.transpose_method
 
-    ops = [
-        jax.jit(lambda a, m=m: f(grid, a, method=m))
-        for f, m in [(tr.transpose_x_to_y, cfg.transpose_method),
-                     (tr.transpose_y_to_z, cfg.transpose_method),
-                     (tr.transpose_z_to_y, cfg.transpose_method),
-                     (tr.transpose_y_to_x, cfg.transpose_method)]
-    ]
+    def roundtrip(a):
+        b = tr.transpose_x_to_y(grid, a, method=m)
+        b = tr.transpose_y_to_z(grid, b, method=m)
+        b = tr.transpose_z_to_y(grid, b, method=m)
+        return tr.transpose_y_to_x(grid, b, method=m)
 
-    def run_once():
-        # time ops individually for weighting (reference times each op)
-        t_ops = []
-        b = x
-        for op in ops:
-            t0 = time.perf_counter()
-            b = op(b)
-            jax.block_until_ready(b)
-            t_ops.append(time.perf_counter() - t0)
-        return sum(w * t for w, t in zip(weights, t_ops))
+    uniform = len(set(weights)) == 1
 
-    for _ in range(n_warmup):
-        run_once()
-    times = []
-    for i in range(n_trials):
-        t = run_once()
-        if i == 0 and skip_after_first_above is not None and t > skip_after_first_above:
-            return [t], True
-        times.append(t)
+    def measure(fn, scale):
+        ts = perf.time_scanned(fn, x, iters=iters, n_warmup=n_warmup,
+                               n_trials=n_trials)
+        return [t * scale for t in ts]
+
+    if uniform:
+        # score = sum(w_i * t_i) = w * t_roundtrip
+        times = measure(roundtrip, weights[0])
+    else:
+        # pair-granular weighting: t_xy_pair = t_X2Y + t_Y2X,
+        # t_yz_pair = t_roundtrip - t_xy_pair; score approximates
+        # sum(w_i * t_i) with the pair-averaged weights
+        def xy_pair(a):
+            return tr.transpose_y_to_x(grid, tr.transpose_x_to_y(
+                grid, a, method=m), method=m)
+
+        t_xy = measure(xy_pair, 1.0)
+        t_rt = measure(roundtrip, 1.0)
+        w_xy = (weights[0] + weights[3]) / 2.0
+        w_yz = (weights[1] + weights[2]) / 2.0
+        times = [w_xy * a + w_yz * max(b - a, 0.0)
+                 for a, b in zip(t_xy, t_rt)]
+    times = _allreduce_trials(times)
+    if (skip_after_first_above is not None
+            and times[0] > skip_after_first_above):
+        # skip-threshold early-out (autotune.cc:578-602); scan-based trials
+        # are all dispatched together, so the early-out saves reporting, not
+        # wall time — kept for protocol parity
+        return times[:1], True
     return times, False
 
 
 def _time_halo(grid: GridDescriptor, dtype, options: AutotuneOptions,
-               n_warmup: int, n_trials: int) -> List[float]:
+               n_warmup: int, n_trials: int, iters: int = 2) -> List[float]:
+    from cudecomp_tpu import performance as perf
     from cudecomp_tpu.ops.halo import update_halos
 
     cfg = grid.config
     axis = options.halo_axis
     he = options.halo_extents
-    x = jnp.zeros(geometry.global_buffer_shape(cfg, axis, he), dtype=dtype)
-    x = jax.device_put(x, grid.sharding(axis))
-    fn = jax.jit(lambda a: update_halos(grid, a, axis, he, options.halo_periods))
-    for _ in range(n_warmup):
-        jax.block_until_ready(fn(x))
-    times = []
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
-        times.append(time.perf_counter() - t0)
-    return times
+    x = jax.device_put(
+        np.zeros(geometry.global_buffer_shape(cfg, axis, he),
+                 dtype=np.dtype(dtype)), grid.sharding(axis))
+    fn = lambda a: update_halos(grid, a, axis, he, options.halo_periods)
+    return _allreduce_trials(perf.time_scanned(
+        fn, x, iters=iters, n_warmup=n_warmup, n_trials=n_trials))
 
 
 def autotune(
@@ -202,7 +247,12 @@ def autotune(
     if devices is None:
         devices = jax.devices()
     nranks = len(devices)
-    dtype = dtype or jnp.complex64
+    if dtype is None:
+        # trial dtype: complex64 like the reference's default, but some TPU
+        # runtimes lack complex support entirely — probe and fall back to
+        # float32 (relative ordering of candidates is dtype-independent)
+        dtype = (jnp.complex64 if _complex_supported(devices[0])
+                 else jnp.float32)
 
     if config.autotune_pdims:
         pdims_cands = _valid_pdims(config, nranks, options)
@@ -214,16 +264,23 @@ def autotune(
 
     from cudecomp_tpu.utils import env as env_util
     if options.autotune_transpose_method:
+        default_methods = [TransposeMethod.ALL_TO_ALL, TransposeMethod.RING,
+                           TransposeMethod.RING_XOR,
+                           TransposeMethod.RING_PIPELINED]
+        from cudecomp_tpu.parallel.mesh import n_slices
+        if n_slices(devices) > 1:
+            # two-tier schedule only differs from RING across slices
+            default_methods.append(TransposeMethod.RING_HIER)
         methods = list(options.methods or env_util.filter_candidates(
             "CUDECOMP_TPU_AUTOTUNE_TRANSPOSE_METHODS",
-            (TransposeMethod.ALL_TO_ALL, TransposeMethod.RING,
-             TransposeMethod.RING_XOR)))
+            tuple(default_methods)))
     else:
         methods = [config.transpose_method]
 
     weights = options.transpose_op_weights
     trials: List[TrialRecord] = []
     best = None  # (time, pdims, method, grid)
+    first_error: Optional[Exception] = None
 
     for pdims in pdims_cands:
         mesh = build_mesh(pdims, devices=devices, rank_order=config.rank_order,
@@ -239,9 +296,11 @@ def autotune(
                 times, skipped = _time_roundtrip(
                     grid, dtype, weights, options.n_warmup, options.n_trials,
                     threshold)
-            except Exception:
+            except Exception as e:
                 # candidate failed to compile/run (OOM analog) — skip it,
                 # like the reference's collective OOM fallback (autotune.cc:437-447)
+                if first_error is None:
+                    first_error = e
                 trials.append(TrialRecord(pdims, method.value, (), float("inf"),
                                           float("inf"), skipped=True))
                 continue
@@ -253,7 +312,10 @@ def autotune(
                 best = (avg, pdims, method, grid)
 
     if best is None:
-        raise RuntimeError("autotuning failed: every candidate was skipped")
+        raise RuntimeError(
+            "autotuning failed: every candidate was skipped"
+            + (f"; first failure: {first_error!r}" if first_error else "")
+        ) from first_error
 
     best_time, best_pdims, best_method, best_grid = best
 

@@ -51,6 +51,19 @@ class TransposeMethod(enum.Enum):
     #: Pairwise XOR peer schedule (reference's power-of-two pairing,
     #: common.h:533-577); falls back to RING for non-power-of-two sizes.
     RING_XOR = "ring_xor"
+    #: True per-peer software pipeline (the reference's flagship pipelined
+    #: backends, transpose.h:683-744): each ring step slices and permutes
+    #: ONLY that peer's chunk, so chunk s+1's local pack and chunk s-1's
+    #: unpack have no data dependence on chunk s's transfer and XLA's
+    #: latency-hiding scheduler can overlap local permute work with ICI
+    #: transfers.  Falls back to RING for non-divisible extents.
+    RING_PIPELINED = "ring_pipelined"
+    #: Two-tier ring for multi-slice meshes (the reference's multi-level
+    #: intra/inter-group ring, common.h:533-577): peers enumerated in mixed
+    #: radix (slice, within-slice) with inter-slice (DCN) steps issued
+    #: first and intra-slice (ICI) steps interleaved behind them
+    #: (transpose.h:695-709 pairing analog).  Equals RING on one slice.
+    RING_HIER = "ring_hier"
     #: Pallas kernel all-to-all using direct inter-chip RDMA with fused
     #: pack/unpack (the NVSHMEM analog).  Falls back to ALL_TO_ALL on
     #: non-TPU platforms.

@@ -11,11 +11,19 @@ holding [re, im]) using the classic four-step Cooley-Tukey factorization:
       2. z[a, k2] = y[a, k2] * W_N^{a k2}             (twiddle, elementwise)
       3. X[k1*B + k2] = sum_a z[a, k2] * W_A^{a k1}   (A-point DFTs, matmul)
 
-Each complex matmul is 4 real matmuls in float32 with HIGHEST precision.
-For N <= DIRECT_THRESHOLD or prime N the full dense DFT matrix is used.
-Arithmetic cost is O(N * (A + B)) per point vs O(N log N) for a true FFT,
-but every flop lands on the MXU at full utilization, and factors are chosen
-near sqrt(N) (<= 128 when possible) to keep matmul shapes MXU-friendly.
+Each complex matmul is 4 real matmuls in float32 with HIGHEST precision
+(3 with the Gauss trick).  For N <= DIRECT_THRESHOLD or prime N the full
+dense DFT matrix is used.  Arithmetic cost is O(N * (A + B)) per point vs
+O(N log N) for a true FFT, but every flop lands on the MXU at full
+utilization, and the dense K=N contraction keeps the systolic array busy.
+
+**In-place axis contraction** (the round-2 speed fix): every DFT stage
+contracts the transform axis *where it lies* via an einsum whose output
+keeps the surrounding dims in order — XLA lowers each one to a canonical
+(batched) dot with no materialized transpose.  The previous implementation
+moved the axis last with ``jnp.moveaxis`` before every stage; at 256^3 each
+such permute costs a full HBM round trip at the chip's measured ~36 GB/s
+transpose rate (~7.5 ms — more than the matmuls themselves).
 
 This replaces nothing in the reference (cuFFT is a library call there,
 benchmark/benchmark.cu:294-412); it is the TPU-native equivalent of "the
@@ -36,8 +44,10 @@ from jax import lax
 # Use a single dense DFT matmul at or below this size.  Although the dense
 # DFT costs O(N) more flops than four-step, on TPU it makes fewer memory
 # passes and feeds the MXU a K=N contraction; measured on v5e at 256^3 the
-# dense DFT beats 16x16 four-step by 26% end-to-end.  Env-overridable.
+# dense DFT beats 16x16 four-step end-to-end.  Env-overridable.
 DIRECT_THRESHOLD = None  # resolved lazily, platform-aware
+
+_LETTERS = "abcdefghij"
 
 
 def _direct_threshold() -> int:
@@ -48,13 +58,14 @@ def _direct_threshold() -> int:
         return int(env)
     return 64 if jax.default_backend() in ("cpu",) else 512
 
+
 def _precision():
     """Matmul precision for the DFT contractions.
 
     float32 data: HIGHEST = full f32 (6-pass bf16 emulation), HIGH = 3-pass
-    bf16x3 (~1e-6 relative error, comfortably within the reference's 5e-4
-    single-precision FFT tolerance, benchmark.cu:23-27) at ~2x the MXU
-    throughput.  float64 (CPU testing) always uses HIGHEST.
+    bf16x3 at ~2x the MXU throughput (error grows with the contraction K and
+    the number of chained stages; see BENCH_NOTES.md for gate results).
+    float64 (CPU testing) always uses HIGHEST.
     Env: CUDECOMP_TPU_FFT_PRECISION=default|high|highest.
     """
     env = os.environ.get("CUDECOMP_TPU_FFT_PRECISION", "").lower()
@@ -70,25 +81,33 @@ def _precision():
 _PREC = None  # resolved per call via _precision(); kept for monkeypatching
 
 
-def _parse_factor_overrides():
-    """CUDECOMP_TPU_FFT_FACTORS="1024=128x8,512=4x128" per-size overrides."""
+def _factor_overrides():
+    """CUDECOMP_TPU_FFT_FACTORS="1024=128x8,512=4x128" per-size overrides.
+
+    Parsed lazily per call (like the other FFT env knobs) so runtime env
+    changes take effect and malformed entries warn instead of breaking
+    import."""
     out = {}
     spec = os.environ.get("CUDECOMP_TPU_FFT_FACTORS", "")
     for item in spec.split(","):
         if "=" in item and "x" in item:
-            n, ab = item.split("=")
-            a, b = ab.split("x")
-            out[int(n)] = (int(a), int(b))
+            try:
+                n, ab = item.split("=")
+                a, b = ab.split("x")
+                out[int(n)] = (int(a), int(b))
+            except ValueError:
+                from cudecomp_tpu.utils.env import log_warn
+                log_warn(f"ignoring malformed CUDECOMP_TPU_FFT_FACTORS "
+                         f"entry {item!r}")
     return out
-
-_FACTOR_OVERRIDES = _parse_factor_overrides()
 
 
 def _best_factorization(n: int):
     """Factor n = A * B with A, B as close as possible (A >= B), unless an
     explicit override is configured for this size."""
-    if n in _FACTOR_OVERRIDES:
-        a, b = _FACTOR_OVERRIDES[n]
+    overrides = _factor_overrides()
+    if n in overrides:
+        a, b = overrides[n]
         if a * b == n:
             return a, b
     b = int(math.isqrt(n))
@@ -109,9 +128,11 @@ def _dft_mats(n: int, inverse: bool, dtype_name: str):
 
 
 @lru_cache(maxsize=None)
-def _twiddle(a: int, b: int, inverse: bool, dtype_name: str):
+def _twiddle_bk(b: int, a: int, inverse: bool, dtype_name: str):
+    """Twiddle W_N^{a k2} laid out as (k2, a) — matching the in-place dim
+    order after the B-step (k2 replaces b at the split position)."""
     n = a * b
-    ang = 2.0 * np.pi * np.outer(np.arange(a), np.arange(b)) / n
+    ang = 2.0 * np.pi * np.outer(np.arange(b), np.arange(a)) / n
     sign = 1.0 if inverse else -1.0
     return (np.cos(ang).astype(dtype_name),
             (sign * np.sin(ang)).astype(dtype_name))
@@ -123,7 +144,7 @@ def _use_gauss() -> bool:
     return os.environ.get("CUDECOMP_TPU_FFT_GAUSS", "0") == "1"
 
 
-def _cmatmul(xr, xi, mr, mi, eq="...n,nk->...k"):
+def _cmatmul(xr, xi, mr, mi, eq):
     """Complex contraction (x @ M) on split parts: 4 real matmuls, or 3 with
     the Gauss form:  k1=(xr+xi)C, k2=xr(S-C), k3=xi(C+S);
     y_r = k1 - k3, y_i = k1 + k2  (C=mr, S=mi; matrices are constants so the
@@ -137,91 +158,110 @@ def _cmatmul(xr, xi, mr, mi, eq="...n,nk->...k"):
     return (dot(xr, mr) - dot(xi, mi), dot(xr, mi) + dot(xi, mr))
 
 
-def _fft_core(xr, xi, inverse: bool):
-    """FFT along the LAST dim of (xr, xi).  Returns unscaled transform."""
-    n = xr.shape[-1]
+def _axis_eq(ndim: int, axis: int) -> str:
+    """Einsum contracting dim ``axis`` in place: 'abc,bB->aBc' style.
+
+    XLA lowers this to a canonical dot for any axis position (axis 0:
+    lhs-transposed matmul; middle: batched matmul; last: plain matmul) with
+    no materialized data permute."""
+    dims = _LETTERS[:ndim]
+    c = dims[axis]
+    out = dims[:axis] + c.upper() + dims[axis + 1:]
+    return f"{dims},{c}{c.upper()}->{out}"
+
+
+def _fft_core(xr, xi, inverse: bool, axis: int):
+    """FFT along dim ``axis`` of (xr, xi), in place.  Unscaled transform."""
+    n = xr.shape[axis]
     dt = str(xr.dtype)
     if n == 1:
         return xr, xi
     a, b = _best_factorization(n)
     if n <= _direct_threshold() or b == 1:  # small or prime: dense DFT
         c, s = _dft_mats(n, inverse, dt)
-        return _cmatmul(xr, xi, jnp.asarray(c), jnp.asarray(s))
+        eq = _axis_eq(xr.ndim, axis)
+        return _cmatmul(xr, xi, jnp.asarray(c), jnp.asarray(s), eq)
 
-    batch = xr.shape[:-1]
-    # v[b_, a_] = x[a_ + A*b_]
-    vr = xr.reshape(batch + (b, a))
-    vi = xi.reshape(batch + (b, a))
-    # step 1: B-point DFTs over b_ for each a_: y[a_, k2]
+    shape = xr.shape
+    split = shape[:axis] + (b, a) + shape[axis + 1:]
+    # v[..., b_, a_, ...] = x[..., a_ + A*b_, ...]  (C-order split, free)
+    vr = xr.reshape(split)
+    vi = xi.reshape(split)
+    ndim = len(split)
+
+    # step 1: B-point DFTs over b_ (at position `axis`), in place
     cb, sb = _dft_mats(b, inverse, dt)
     yr, yi = _cmatmul(vr, vi, jnp.asarray(cb), jnp.asarray(sb),
-                      eq="...ba,bk->...ak")
-    # step 2: twiddle W_N^{a_ k2}
-    tc, ts = _twiddle(a, b, inverse, dt)
-    tc = jnp.asarray(tc)
-    ts = jnp.asarray(ts)
+                      _axis_eq(ndim, axis))
+    # step 2: twiddle W_N^{a_ k2}, shaped (k2, a_) at (axis, axis+1)
+    tc, ts = _twiddle_bk(b, a, inverse, dt)
+    bshape = (1,) * axis + (b, a) + (1,) * (ndim - axis - 2)
+    tc = jnp.asarray(tc).reshape(bshape)
+    ts = jnp.asarray(ts).reshape(bshape)
     zr = yr * tc - yi * ts
     zi = yr * ts + yi * tc
-    # step 3: A-point DFTs over a_: X[k1, k2], recursing if A is still large
+    # step 3: A-point DFTs over a_ (at position axis+1), recursing if large
     if a > _direct_threshold():
-        # recurse on the A-dim: move it last, transform, move back
-        zr2 = jnp.swapaxes(zr, -2, -1)
-        zi2 = jnp.swapaxes(zi, -2, -1)
-        or_, oi_ = _fft_core(zr2, zi2, inverse)
-        outr = jnp.swapaxes(or_, -2, -1)
-        outi = jnp.swapaxes(oi_, -2, -1)
+        outr, outi = _fft_core(zr, zi, inverse, axis + 1)
+        # recursion leaves sub-transform order (k1-major within a_); the
+        # final flatten below composes indices as k1*B + k2 only when step 3
+        # writes k1 at `axis` — swap the two sub-dims explicitly
+        outr = jnp.swapaxes(outr, axis, axis + 1)
+        outi = jnp.swapaxes(outi, axis, axis + 1)
     else:
         ca, sa = _dft_mats(a, inverse, dt)
-        outr, outi = _cmatmul(zr, zi, jnp.asarray(ca), jnp.asarray(sa),
-                              eq="...ak,aK->...Kk")
-    return outr.reshape(batch + (n,)), outi.reshape(batch + (n,))
+        # contract a_ (axis+1), writing k1 to `axis` and keeping k2 at
+        # axis+1: '...ka...,aK->...Kk...'
+        dims = _LETTERS[:ndim]
+        k2c, ac = dims[axis], dims[axis + 1]
+        out = dims[:axis] + ac.upper() + k2c + dims[axis + 2:]
+        eq = f"{dims},{ac}{ac.upper()}->{out}"
+        outr, outi = _cmatmul(zr, zi, jnp.asarray(ca), jnp.asarray(sa), eq)
+    return outr.reshape(shape), outi.reshape(shape)
 
 
 def fft_split(x, axis: int, inverse: bool = False):
     """FFT of split-complex ``x`` (..., 2) along data dim ``axis``.
 
     Forward is unscaled; inverse scales by 1/N (jnp.fft convention).
+    The transform contracts ``axis`` in place — no data permutes.
     """
     if x.shape[-1] != 2:
         raise ValueError(f"split-complex input must have trailing dim 2, "
                          f"got shape {tuple(x.shape)}")
     ndim = x.ndim - 1  # data dims
     axis = axis % ndim
-    xm = jnp.moveaxis(x, axis, ndim - 1)  # transform dim just before comps
-    r, i = _fft_core(xm[..., 0], xm[..., 1], inverse)
+    r, i = _fft_core(x[..., 0], x[..., 1], inverse, axis)
     if inverse:
         scale = 1.0 / x.shape[axis]
         r = r * scale
         i = i * scale
-    return jnp.moveaxis(jnp.stack([r, i], axis=-1), ndim - 1, axis)
+    return jnp.stack([r, i], axis=-1)
 
 
 def rfft_split(x, axis: int):
     """Real-to-split-complex FFT along ``axis``: output extent N//2 + 1."""
     n = x.shape[axis]
-    xm = jnp.moveaxis(x, axis, -1)
-    r, i = _fft_core(xm, jnp.zeros_like(xm), inverse=False)
-    r = r[..., : n // 2 + 1]
-    i = i[..., : n // 2 + 1]
-    out = jnp.stack([r, i], axis=-1)
-    return jnp.moveaxis(out, -2, axis)
+    axis = axis % x.ndim
+    r, i = _fft_core(x, jnp.zeros_like(x), inverse=False, axis=axis)
+    r = lax.slice_in_dim(r, 0, n // 2 + 1, axis=axis)
+    i = lax.slice_in_dim(i, 0, n // 2 + 1, axis=axis)
+    return jnp.stack([r, i], axis=-1)
 
 
 def irfft_split(x, axis: int, n: int):
     """Split-complex-to-real inverse FFT along ``axis`` (output extent n)."""
     ndim = x.ndim - 1
     axis = axis % ndim
-    xm = jnp.moveaxis(x, axis, ndim - 1)
-    r, i = xm[..., 0], xm[..., 1]
+    r, i = x[..., 0], x[..., 1]
     # rebuild the full Hermitian spectrum: F[k] = conj(F[n-k]) for k > n//2
     k_half = n // 2
-    mr = r[..., 1: n - k_half][..., ::-1]
-    mi = -i[..., 1: n - k_half][..., ::-1]
-    fr = jnp.concatenate([r, mr], axis=-1)
-    fi = jnp.concatenate([i, mi], axis=-1)
-    outr, _ = _fft_core(fr, fi, inverse=True)
-    outr = outr / n
-    return jnp.moveaxis(outr, ndim - 1, axis)
+    mr = jnp.flip(lax.slice_in_dim(r, 1, n - k_half, axis=axis), axis=axis)
+    mi = -jnp.flip(lax.slice_in_dim(i, 1, n - k_half, axis=axis), axis=axis)
+    fr = jnp.concatenate([r, mr], axis=axis)
+    fi = jnp.concatenate([i, mi], axis=axis)
+    outr, _ = _fft_core(fr, fi, inverse=True, axis=axis)
+    return outr / n
 
 
 def to_split(xc):

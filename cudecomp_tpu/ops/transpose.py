@@ -102,14 +102,68 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
     Bg = max(splits_gather)            # == ms_in[gather_dim]
     even = (splits_scatter == (Bs,) * P) and (splits_gather == (Bg,) * P)
 
-    exchange = EXCHANGES[method_key]
-    if method_key == "pallas_a2a":
-        exchange = partial(exchange, mesh=grid.mesh)
+    pipelined = method_key == "ring_pipelined"
+    if pipelined and not even:
+        # the per-peer software pipeline needs uniform chunk sizes; the
+        # padded-pencil pad-to-max path packs everything up front, so
+        # non-divisible extents fall back to the block ring
+        pipelined = False
+        method_key = "ring"
+    if not pipelined:
+        exchange = EXCHANGES[method_key]
+        if method_key == "pallas_a2a":
+            exchange = partial(exchange, mesh=grid.mesh)
+        elif method_key == "ring_hier":
+            from cudecomp_tpu.parallel.mesh import axis_group_size
+            exchange = partial(exchange,
+                               group=axis_group_size(grid.mesh, comm_name))
 
     comp_axes = tuple(range(3, 3 + n_comp_dims))
 
+    # -- per-peer pipelined path (transpose.h:683-744 analog) ----------------
+    # Step s slices peer (me+s)'s chunk straight from the input buffer (no
+    # permute: sends start immediately), ppermutes it, and unpacks the chunk
+    # received from peer (me-s) with ONE fused permute directly into the
+    # output layout.  Chunk s+1's slice and chunk s-1's unpack permute have
+    # no data dependence on chunk s's transfer, so XLA's latency-hiding
+    # scheduler overlaps local permute work with ICI transfers — the
+    # software pipeline the reference builds with per-peer CUDA events
+    # (transpose.h:683-744, comm_routines.h:427-631).
+    ms_out = geometry.max_splits(cfg, ax_out)
+    pos_sc_in = in_order.index(scatter_dim)
+    pos_g_out = out_order.index(gather_dim)
+    # unpack permute: input-order chunk dims -> output-order dims, composed
+    # into a single transpose (out dim j holds global axis out_order[j])
+    perm_unpack = tuple(in_inv[out_order[j]] for j in range(3)) + comp_axes
+
+    def pipelined_fn(t):
+        me = lax.axis_index(comm_name)
+        interior = tuple(ms_out[out_order[i]] for i in range(3))
+        out = jnp.zeros(interior + t.shape[3:], t.dtype)
+
+        def chunk_for(peer):
+            return lax.dynamic_slice_in_dim(t, peer * Bs, Bs, axis=pos_sc_in)
+
+        def unpack(blk, recv_peer, acc):
+            c = jnp.transpose(blk, perm_unpack)
+            return lax.dynamic_update_slice_in_dim(acc, c, recv_peer * Bg,
+                                                   axis=pos_g_out)
+
+        out = unpack(chunk_for(me), me, out)
+        for s in range(1, P):
+            send = chunk_for((me + s) % P)
+            perm = [(j, (j + s) % P) for j in range(P)]
+            recv = lax.ppermute(send, comm_name, perm)
+            out = unpack(recv, (me - s) % P, out)
+        return out
+
     def local_fn(local):
         t = _strip_halos_padding(local, in_order, in_halo, ms_in)
+
+        if pipelined and P > 1:
+            out_t = pipelined_fn(t)
+            return _add_halos_padding(out_t, out_order, out_halo, out_pad)
+
         # to global-axis order (dims = X, Y, Z extents of this pencil)
         t = jnp.transpose(t, axes=in_inv + comp_axes)
 
@@ -175,9 +229,10 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
         method = cfg.transpose_method
     method_key = (method.value if isinstance(method, TransposeMethod)
                   else str(method))
-    if method_key not in EXCHANGES:
-        raise ValueError(f"unknown transpose method {method_key!r}; "
-                         f"available: {sorted(EXCHANGES)}")
+    if method_key not in EXCHANGES and method_key != "ring_pipelined":
+        raise ValueError(
+            f"unknown transpose method {method_key!r}; available: "
+            f"{sorted(EXCHANGES) + ['ring_pipelined']}")
 
     expected_in = geometry.global_buffer_shape(cfg, ax, in_halo, in_pad)
     if arr.ndim < 3 or tuple(arr.shape[:3]) != expected_in:

@@ -92,9 +92,89 @@ def exchange_ring_xor(blocks, axis_name: str, n: int, block: int):
     return out
 
 
+def hier_schedule(n: int, group: int):
+    """Two-tier peer schedule (multi-level ring, common.h:533-577 analog).
+
+    Devices along the axis decompose as ``j = g * group + k`` (g = slice /
+    fast-interconnect group, k = index within the group).  Every step is a
+    valid permutation ``j -> ((g+dg) % G) * group + (k+dk) % group``; steps
+    are ordered with inter-group displacements first, interleaved with
+    intra-group ones, so slow DCN transfers are issued early and fast ICI
+    transfers fill in behind them (the reference pairs each inter-group
+    transfer with an intra-group one, transpose.h:695-709).
+
+    Returns a list of (dg, dk) displacement pairs covering all n-1 peers.
+    """
+    if group <= 1 or n % group:
+        return [(0, s) for s in range(1, n)]
+    G = n // group
+    inter = [(dg, dk) for dg in range(1, G) for dk in range(group)]
+    intra = [(0, dk) for dk in range(1, group)]
+    steps = []
+    ii, jj = 0, 0
+    while ii < len(inter) or jj < len(intra):
+        if ii < len(inter):
+            steps.append(inter[ii])
+            ii += 1
+        if jj < len(intra):
+            steps.append(intra[jj])
+            jj += 1
+    return steps
+
+
+def exchange_ring_hier(blocks, axis_name: str, n: int, block: int,
+                       group: int = 1):
+    """Hierarchical (two-tier) ring exchange for multi-slice meshes.
+
+    Same block contract as :func:`exchange_ring`, but peers are enumerated
+    with the mixed-radix schedule of :func:`hier_schedule` so each
+    ``ppermute`` step is either purely intra-slice (ICI) or purely
+    inter-slice (DCN), with DCN steps front-loaded.  With ``group <= 1``
+    (single slice) this degenerates to the plain increment ring.
+    """
+    me = lax.axis_index(axis_name)
+    out = jnp.zeros_like(blocks)
+    self_blk = lax.dynamic_slice_in_dim(blocks, me * block, block, axis=0)
+    out = lax.dynamic_update_slice_in_dim(out, self_blk, me * block, axis=0)
+    if group <= 1 or n % group:
+        group = n  # one group: (0, dk) displacements == increment ring
+    G = n // group
+    me_g = me // group
+    me_k = me % group
+
+    def peer_of(dg, dk, g, k):
+        return ((g + dg) % G) * group + (k + dk) % group
+
+    for dg, dk in hier_schedule(n, group):
+        send_peer = peer_of(dg, dk, me_g, me_k)
+        recv_peer = peer_of((-dg) % G, (-dk) % group, me_g, me_k)
+        blk = lax.dynamic_slice_in_dim(blocks, send_peer * block, block,
+                                       axis=0)
+        perm = [(j, peer_of(dg, dk, j // group, j % group))
+                for j in range(n)]
+        recv = lax.ppermute(blk, axis_name, perm)
+        out = lax.dynamic_update_slice_in_dim(out, recv, recv_peer * block,
+                                              axis=0)
+    return out
+
+
+def exchange_local_only(blocks, axis_name: str, n: int, block: int):
+    """Identity "exchange" — no collective at all.  Produces WRONG transpose
+    results; exists solely so the perf subsystem can time the local
+    pack/permute/unpack phases in isolation and derive true all-to-all time
+    by subtraction (the reference times each a2a step with its own event
+    pair, performance.cc:391,450 — on TPU the collective is fused inside one
+    XLA program, so segmentation is done by differencing two programs)."""
+    return blocks
+
+
 EXCHANGES = {
     "all_to_all": exchange_all_to_all,
     "ring": exchange_ring,
     "ring_xor": exchange_ring_xor,
+    "ring_hier": exchange_ring_hier,  # engine injects group= at build time
+    "_local_only": exchange_local_only,  # perf segmentation, not a public method
+    # "ring_pipelined" is implemented inside the transpose engine (it
+    # restructures the pack/permute phases, not just the exchange);
     # pallas_a2a is registered lazily by ops.pallas_kernels when available
 }

@@ -38,6 +38,29 @@ def n_slices(devices: Optional[Sequence[jax.Device]] = None) -> int:
     return len({_slice_index(d) for d in devices})
 
 
+def axis_group_size(mesh: Mesh, axis_name: str) -> int:
+    """Fast-interconnect group size along one mesh axis.
+
+    The analog of the reference's ``npergroup`` (``common.h:426-494``): how
+    many consecutive devices along ``axis_name`` share a slice (ICI domain).
+    Returns the full axis size when the axis lies within one slice or the
+    slice pattern is irregular (-> flat ring), so callers can use it
+    directly as the ``group`` of a two-tier schedule.
+    """
+    names = list(mesh.axis_names)
+    dev = np.moveaxis(np.asarray(mesh.devices), names.index(axis_name), 0)
+    col = dev.reshape(dev.shape[0], -1)[:, 0]
+    slices = [_slice_index(d) for d in col]
+    P = len(slices)
+    K = next((i for i in range(1, P) if slices[i] != slices[0]), P)
+    if K == P or P % K:
+        return P
+    for g in range(P // K):
+        if len({slices[g * K + j] for j in range(K)}) != 1:
+            return P
+    return K
+
+
 def build_decomp_mesh(
     pdims: Tuple[int, int],
     devices: Optional[Sequence[jax.Device]] = None,

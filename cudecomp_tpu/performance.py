@@ -18,8 +18,12 @@ reference's config-keyed maps (``performance.h:32-50``).  ``report()``
 prints the aggregated table; ``write_csv()`` exports samples with
 config-encoding filenames (``performance.cc:480-700`` analog).
 
-Timing helpers for benchmarking (warmup + trials with
-``block_until_ready``) live here too, shared by the autotuner and bench.
+Timing helpers for benchmarking live here too, shared by the autotuner and
+bench.  All of them use **forced-completion** timing: the timed program ends
+in a scalar reduction and the wall clock stops at the Python ``float()``
+fetch of that scalar.  ``jax.block_until_ready`` can return before execution
+completes on remote-tunnel runtimes (a physically impossible 485 TFLOPS was
+measured that way — BENCH_NOTES.md), so it is never used as a barrier here.
 """
 
 from __future__ import annotations
@@ -32,6 +36,8 @@ from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
+from jax import lax
 
 
 _N_WARMUP_DISCARD = int(os.environ.get("CUDECOMP_TPU_PERF_N_WARMUP", "1"))
@@ -128,6 +134,18 @@ def perf_report_enable(enable: bool = True):
     REGISTRY.enabled = enable
 
 
+def _force_bytes(out):
+    """Completion barrier for an already-dispatched op: block, then fetch one
+    element's concrete bytes (the fetch is what forces completion on runtimes
+    where block_until_ready returns early)."""
+    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "addressable_shards") and leaf.addressable_shards:
+            shard = leaf.addressable_shards[0].data
+            np.asarray(shard[(0,) * shard.ndim])
+            break
+
+
 def maybe_record(key_fn: Callable, run_fn: Callable, arr):
     """Run ``run_fn(arr)``; when reporting is enabled and ``arr`` is a
     concrete array (dispatched, not traced), record a wall-time sample.
@@ -138,10 +156,68 @@ def maybe_record(key_fn: Callable, run_fn: Callable, arr):
         return run_fn(arr)
     t0 = time.perf_counter()
     out = run_fn(arr)
-    jax.block_until_ready(out)
+    _force_bytes(out)
     ms = (time.perf_counter() - t0) * 1e3
     key, nbytes = key_fn()
     REGISTRY.record(key, ms, nbytes)
+    return out
+
+
+def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
+                      n_warmup: int = 2, n_trials: int = 5,
+                      record: bool = True) -> Dict[str, float]:
+    """Segment the 4-op transpose round trip into a2a vs local time.
+
+    The reference wraps each all-to-all step in its own CUDA event pair and
+    reports total / A2A / local ms plus achieved A2A bandwidth
+    (``performance.cc:391,450``).  Inside one XLA program the collective
+    cannot be timed separately, so this times two compiled variants of the
+    full X2Y;Y2Z;Z2Y;Y2X round trip — the real one, and one with the
+    exchange replaced by an identity (``_local_only``) — and differences
+    them.  Returns total_ms / a2a_ms / local_ms / a2a_gbps (per chip).
+    """
+    from cudecomp_tpu import geometry
+    from cudecomp_tpu.ops import transpose as tr
+
+    cfg = grid.config
+    m = method.value if hasattr(method, "value") else (
+        method or cfg.transpose_method.value)
+
+    def rt(mm):
+        def f(a):
+            b = tr.transpose_x_to_y(grid, a, method=mm)
+            b = tr.transpose_y_to_z(grid, b, method=mm)
+            b = tr.transpose_z_to_y(grid, b, method=mm)
+            return tr.transpose_y_to_x(grid, b, method=mm)
+        return f
+
+    x = jax.device_put(np.zeros(grid.global_shape(0), dtype),
+                       grid.sharding(0))
+    total = float(np.min(time_scanned(rt(m), x, iters=iters,
+                                      n_warmup=n_warmup, n_trials=n_trials)))
+    local = float(np.min(time_scanned(rt("_local_only"), x, iters=iters,
+                                      n_warmup=n_warmup, n_trials=n_trials)))
+    a2a = max(total - local, 0.0)
+
+    # per-chip bytes leaving the chip over the round trip (4 exchanges)
+    pr, pc = cfg.pdims
+    itemsize = np.dtype(dtype).itemsize
+    nbytes = 0
+    for ax, dir_ in ((0, +1), (1, +1), (2, -1), (1, -1)):
+        P = pr if min(ax, ax + dir_) == 0 else pc
+        ms_in = geometry.max_splits(cfg, ax)
+        elems = ms_in[0] * ms_in[1] * ms_in[2]
+        nbytes += int(elems * itemsize * (P - 1) / max(P, 1))
+    gbps = nbytes / a2a / 1e9 if a2a > 0 else float("inf")
+
+    out = {"total_ms": total * 1e3, "a2a_ms": a2a * 1e3,
+           "local_ms": local * 1e3, "a2a_gbps": gbps}
+    if record and REGISTRY.enabled:
+        key = ("transpose_roundtrip_segmented", cfg.gdims, cfg.pdims, m,
+               str(np.dtype(dtype)))
+        REGISTRY.record(key + ("total",), out["total_ms"], nbytes)
+        REGISTRY.record(key + ("a2a",), out["a2a_ms"], nbytes)
+        REGISTRY.record(key + ("local",), out["local_ms"])
     return out
 
 
@@ -155,19 +231,67 @@ def profile_trace(log_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# shared timing protocol (autotune + bench)
+# shared timing protocol (autotune + bench) — forced completion
 # ---------------------------------------------------------------------------
+
+def completion_scalar(out):
+    """Reduce a pytree of arrays to one scalar whose value depends on every
+    output buffer.  Fetching it with ``float()`` is the only completion
+    barrier trusted on this runtime (BENCH_NOTES.md: ``block_until_ready``
+    can return early on remote-tunnel backends)."""
+    acc = None
+    for leaf in jax.tree_util.tree_leaves(out):
+        if not hasattr(leaf, "dtype"):
+            continue
+        x = leaf
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            x = jnp.real(x) + jnp.imag(x)
+        elif not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)
+        s = jnp.sum(x)
+        acc = s if acc is None else acc + s
+    return jnp.zeros(()) if acc is None else acc
+
 
 def time_fn(fn, *args, n_warmup: int = 3, n_trials: int = 5,
             reduce: str = "avg") -> Tuple[float, List[float]]:
-    """Warmup + timed trials of a compiled callable (autotune.cc:541-626
-    protocol); returns (reduced seconds, all trial times)."""
+    """Warmup + timed trials of a callable (autotune.cc:541-626 protocol)
+    with a forced-completion barrier; returns (reduced seconds, trials)."""
+    timed = jax.jit(lambda *a: completion_scalar(fn(*a)))
     for _ in range(n_warmup):
-        jax.block_until_ready(fn(*args))
+        float(timed(*args))
     times = []
     for _ in range(n_trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(timed(*args))
         times.append(time.perf_counter() - t0)
     red = {"avg": np.mean, "min": np.min, "max": np.max}[reduce]
     return float(red(times)), times
+
+
+def time_scanned(fn, x, *, iters: int = 2, n_warmup: int = 2,
+                 n_trials: int = 5) -> List[float]:
+    """Forced-completion timing of a shape-preserving op chain.
+
+    Runs ``iters`` applications of ``fn`` inside one jit via ``lax.scan``
+    (amortizing per-dispatch latency, which is tens of ms over a remote
+    tunnel) ending in a scalar reduction; returns per-iteration seconds for
+    each trial.  This is the timing protocol of ``bench.py`` shared with the
+    autotuner (the TPU-honest analog of the reference's CUDA-event trials,
+    autotune.cc:541-626)."""
+
+    @jax.jit
+    def run(v):
+        def body(c, _):
+            return fn(c), ()
+        out, _ = lax.scan(body, v, None, length=iters)
+        return completion_scalar(out)
+
+    for _ in range(n_warmup):
+        float(run(x))
+    times = []
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        float(run(x))
+        times.append((time.perf_counter() - t0) / iters)
+    return times

@@ -48,6 +48,31 @@ def test_fft_split_any_axis():
                                    atol=1e-9)
 
 
+def test_four_step_recursion(monkeypatch):
+    # force the four-step path and its recursion (A > threshold) for sizes
+    # the default CPU threshold would send to the dense DFT
+    monkeypatch.setattr(M, "DIRECT_THRESHOLD", 8)
+    for n, axis in [(256, 1), (729, 0), (1024, 2)]:
+        shape = [3, 3, 3]
+        shape[axis] = n
+        x = RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)
+        xs = M.to_split(jnp.asarray(x))
+        f = np.asarray(M.from_split(M.fft_split(xs, axis=axis)))
+        np.testing.assert_allclose(f, np.fft.fft(x, axis=axis), rtol=1e-10,
+                                   atol=1e-7)
+        b = np.asarray(M.from_split(
+            M.fft_split(M.fft_split(xs, axis=axis), axis=axis, inverse=True)))
+        np.testing.assert_allclose(b, x, rtol=0, atol=1e-10)
+
+
+def test_factor_overrides_env(monkeypatch):
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_FACTORS", "64=16x4,junk,8=axb")
+    assert M._best_factorization(64) == (16, 4)  # override applied
+    assert M._best_factorization(8) == (4, 2)    # malformed entry ignored
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_FACTORS", "")
+    assert M._best_factorization(64) == (8, 8)   # lazily re-read
+
+
 def test_float32_accuracy():
     n = 256
     x = (RNG.standard_normal((2, n)) + 1j * RNG.standard_normal((2, n)))

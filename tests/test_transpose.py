@@ -79,16 +79,101 @@ def test_roundtrip_mixed_mem_order_uneven():
 
 
 @pytest.mark.parametrize("method", [TransposeMethod.ALL_TO_ALL,
-                                    TransposeMethod.RING])
+                                    TransposeMethod.RING,
+                                    TransposeMethod.RING_PIPELINED,
+                                    TransposeMethod.RING_HIER])
 @pytest.mark.parametrize("pdims", [(2, 2), (1, 4), (2, 4)])
 def test_methods_even(method, pdims):
     roundtrip_check(make_grid_for((8, 8, 8), pdims), method=method)
 
 
 @pytest.mark.parametrize("method", [TransposeMethod.ALL_TO_ALL,
-                                    TransposeMethod.RING])
+                                    TransposeMethod.RING,
+                                    TransposeMethod.RING_PIPELINED,
+                                    TransposeMethod.RING_HIER])
 def test_methods_uneven(method):
+    # RING_PIPELINED falls back to RING here (non-divisible extents)
     roundtrip_check(make_grid_for((9, 10, 11), (2, 2)), method=method)
+
+
+@pytest.mark.parametrize("pdims", [(2, 2), (2, 4)])
+def test_pipelined_axis_contiguous(pdims):
+    # exercises the fused slice->ppermute->single-permute-unpack path with
+    # nontrivial input AND output memory orders
+    roundtrip_check(make_grid_for((8, 8, 8), pdims,
+                                  transpose_axis_contiguous=(True, True, True)),
+                    method=TransposeMethod.RING_PIPELINED)
+
+
+def test_pipelined_mixed_mem_order():
+    roundtrip_check(make_grid_for(
+        (8, 8, 8), (2, 2),
+        transpose_mem_order=((1, 0, 2), (2, 1, 0), (0, 2, 1))),
+        method=TransposeMethod.RING_PIPELINED)
+
+
+def test_pipelined_component_dims():
+    # split-complex style trailing component dim rides through the pipeline
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    x_global = T.global_index_field(grid.gdims, dtype=np.float32)
+    xg2 = np.stack([x_global, -x_global], axis=-1)
+    buf = cd.scatter_global(grid, x_global, 0)
+    buf = jnp.stack([buf, -buf], axis=-1)
+    y = cd.transpose_x_to_y(grid, buf, method=TransposeMethod.RING_PIPELINED)
+    got = cd.gather_global(grid, y[..., 0], 1)
+    np.testing.assert_array_equal(got, x_global)
+    got2 = cd.gather_global(grid, y[..., 1], 1)
+    np.testing.assert_array_equal(got2, -x_global)
+
+
+def test_pipelined_with_halos_padding():
+    grid = make_grid_for((8, 8, 8), (2, 2))
+    x_global = T.global_index_field(grid.gdims, dtype=np.float64)
+    buf = cd.scatter_global(grid, x_global, 0)
+    y = cd.transpose_x_to_y(grid, buf, output_halo_extents=(1, 1, 0),
+                            output_padding=(0, 2, 0),
+                            method=TransposeMethod.RING_PIPELINED)
+    got = cd.gather_global(grid, y, 1, halo_extents=(1, 1, 0),
+                           padding=(0, 2, 0))
+    np.testing.assert_array_equal(got, x_global)
+    back = cd.transpose_y_to_x(grid, y, input_halo_extents=(1, 1, 0),
+                               input_padding=(0, 2, 0),
+                               method=TransposeMethod.RING_PIPELINED)
+    np.testing.assert_array_equal(cd.gather_global(grid, back, 0), x_global)
+
+
+def test_hier_schedule_covers_all_peers():
+    from cudecomp_tpu.parallel.collectives import hier_schedule
+    for n, group in [(8, 2), (8, 4), (12, 3), (6, 6), (8, 1), (9, 3)]:
+        steps = hier_schedule(n, group)
+        assert len(steps) == n - 1
+        G = n // group if group > 1 and n % group == 0 else 1
+        K = group if G > 1 else n
+        for j in range(n):
+            g, k = divmod(j, K)
+            peers = {((g + dg) % max(G, 1)) * K + (k + dk) % K
+                     for dg, dk in steps}
+            assert peers == set(range(n)) - {j}, (n, group, j)
+        # every step must be a bijection (valid ppermute)
+        for dg, dk in steps:
+            dst = [((j // K + dg) % max(G, 1)) * K + (j % K + dk) % K
+                   for j in range(n)]
+            assert sorted(dst) == list(range(n))
+
+
+def test_hier_multislice_mock(monkeypatch):
+    # 4 devices along pc spanning 2 mock slices: group size 2 -> two-tier
+    # schedule actually engages (gdims unique so the plan cache can't reuse
+    # a flat-ring program built by other tests)
+    from cudecomp_tpu.parallel import mesh as mesh_mod
+    grid = make_grid_for((16, 8, 8), (2, 4))
+    devs = list(np.asarray(grid.mesh.devices).reshape(-1))
+    fake = {id(d): (i % 4) // 2 for i, d in enumerate(devs)}
+    monkeypatch.setattr(mesh_mod, "_slice_index",
+                        lambda d: fake.get(id(d), 0))
+    from cudecomp_tpu.parallel.mesh import axis_group_size
+    assert axis_group_size(grid.mesh, "pc") == 2
+    roundtrip_check(grid, method=TransposeMethod.RING_HIER)
 
 
 def test_ring_non_power_of_two():
