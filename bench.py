@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import math
+import os
 import time
 
 import jax
@@ -38,8 +39,13 @@ def main(N: int = 256, ITERS: int = 2, n_trials: int = 3):
         pr -= 1
     pdims = (pr, n_dev // pr)
 
+    # Natural layout by default: the in-place MXU FFT contracts any axis
+    # without permutes, so on a single chip the whole 3D FFT is matmuls
+    # only; axis-contiguous pencils (the r1 default) are kept as an env
+    # toggle for multi-chip layout studies.
+    ac = os.environ.get("CUDECOMP_TPU_BENCH_AC", "0") == "1"
     cfg = GridConfig(gdims=(N, N, N), pdims=pdims,
-                     transpose_axis_contiguous=(True, True, True))
+                     transpose_axis_contiguous=(ac, ac, ac))
     grid = cd.make_grid(cfg, devices=devices)
     plan = DistributedFFT(grid=grid, split_complex=True)
 

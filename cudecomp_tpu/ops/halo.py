@@ -91,7 +91,6 @@ def _update_dim(grid, arr, axis, d, halo, periodic, pad):
     cfg = grid.config
     ms = geometry.max_splits(cfg, axis)
     h = halo[d]
-    i_d = cfg.inv_mem_order(axis)[d]
 
     def perf_key():
         other = [ms[g] for g in range(3) if g != d]
@@ -151,10 +150,10 @@ def _build_halo_fn(grid, axis, d, halo, periodic, pad, n_comp_dims):
             return local
 
         name = grid.axis_names[pd]
-        if (cfg.halo_method == HaloMethod.PALLAS and not uneven):
+        if cfg.halo_method == HaloMethod.PALLAS:
             from cudecomp_tpu.ops.pallas_kernels import halo_exchange_pallas
             out = halo_exchange_pallas(local, name, P, h, m, i_d, periodic,
-                                       mesh=grid.mesh)
+                                       mesh=grid.mesh, splits=splits)
             if out is not None:
                 return out
             # platform without pallas RDMA: fall through to ppermute

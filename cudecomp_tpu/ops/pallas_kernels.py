@@ -37,11 +37,14 @@ except ImportError:  # pragma: no cover
 
 def _peer_device_id(mesh_axes, axis_name, peer_coord):
     """Device-id kwargs addressing the peer that differs only along
-    ``axis_name``: LOGICAL for single-axis meshes (what interpret mode
-    supports best), MESH coords dict otherwise."""
+    ``axis_name``, always with MESH-type addressing (the type the Mosaic
+    lowering uses on hardware): a scalar coordinate on single-axis meshes
+    (which the TPU interpreter also discharges, so tests exercise the same
+    addressing type), a coords dict on multi-axis meshes (axes omitted from
+    the dict keep the sender's coordinate)."""
     if len(mesh_axes) == 1:
         return dict(device_id=peer_coord,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                    device_id_type=pltpu.DeviceIdType.MESH)
     return dict(device_id={axis_name: peer_coord},
                 device_id_type=pltpu.DeviceIdType.MESH)
 
@@ -126,8 +129,8 @@ def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(blocks.shape, blocks.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((max(n - 1, 1),)),
@@ -141,6 +144,56 @@ def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
 
 if _HAS_PALLAS:
     _coll.EXCHANGES.setdefault("pallas_a2a", exchange_pallas_a2a)
+
+
+def mosaic_smoke(n: int = 1024, interpret: bool = False) -> bool:
+    """Single-chip Mosaic compile-and-run smoke of the RDMA kernel skeleton.
+
+    Multi-chip hardware may be unavailable in dev environments, so this
+    drives the P=1 degenerate program of ``_a2a_kernel`` — the same
+    pallas_call plumbing (ANY memory space refs, DMA semaphores, local
+    async copy) lowered by the real Mosaic compiler rather than the
+    interpreter — plus the tiled transpose kernel, and validates outputs.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    from cudecomp_tpu.parallel.collectives import shard_map_fn
+
+    dev = jax.devices()[0]
+    mesh = Mesh(np.array([dev]), ("smoke",))
+    kernel = functools.partial(_a2a_kernel, P=1, B=n, axis_name="smoke",
+                               mesh_axes=(("smoke", 1),))
+
+    def call(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((1,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+            # no collective_id: the P=1 program has no remote DMA barrier,
+            # and Mosaic rejects collective_id without one
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(x)
+
+    x_np = np.arange(n * 256, dtype=np.float32).reshape(n, 256)
+    x = jax.device_put(x_np, NamedSharding(mesh, PartitionSpec()))
+    fn = jax.jit(shard_map_fn(call, mesh, in_specs=(PartitionSpec(),),
+                              out_specs=PartitionSpec()))
+    got = np.asarray(jax.device_get(fn(x)))
+    ok = bool((got == x_np).all())
+
+    y = jax.device_put(x_np, dev)
+    got_t = np.asarray(jax.device_get(
+        jax.jit(lambda v: pallas_transpose2d(v, tm=256, tn=256,
+                                             interpret=interpret))(y)))
+    return ok and bool((got_t == x_np.T).all())
 
 
 # ---------------------------------------------------------------------------
@@ -206,13 +259,13 @@ def _sl(ndim, i_d, start, size):
     return tuple(slice(None) for _ in range(i_d)) + (pl.ds(start, size),)
 
 
-def _halo_kernel(x_ref, out_ref, send_sems, recv_sems,
-                 *, P, h, m, i_d, ndim, axis_name, mesh_axes):
+def _halo_kernel(x_ref, splits_ref, out_ref, send_sems, recv_sems,
+                 *, P, h, m, i_d, ndim, axis_name, mesh_axes, splits):
     """Periodic one-sided halo ring exchange along array dim ``i_d``: each
     device puts its low interior slab [h, 2h) into the left neighbor\'s
-    high-halo slot [h+m, h+m+h), and its high interior slab [m, m+h) into
-    the right neighbor\'s low-halo slot [0, h).  Requires even splits
-    (interior extent == m on every shard).  x_ref is aliased to out_ref
+    high-halo slot [h+m, h+m+h), and its high interior slab [v, v+h) (v =
+    this device\'s valid interior extent, == m for even splits) into the
+    right neighbor\'s low-halo slot [0, h).  x_ref is aliased to out_ref
     (in-place: only halo slots are written, by remote peers).
 
     Non-periodic boundaries are handled functionally by the caller (edge
@@ -221,10 +274,16 @@ def _halo_kernel(x_ref, out_ref, send_sems, recv_sems,
     me = lax.axis_index(axis_name)
     left = (me - 1) % P
     right = (me + 1) % P
+    if len(set(splits)) == 1:
+        v = splits[0]  # static offset
+    else:
+        # uneven splits: this device's high interior slab starts at its own
+        # valid extent — a scalar load from the SMEM splits table
+        v = splits_ref[me]
 
     # -> right neighbor\'s low halo
     to_right = pltpu.make_async_remote_copy(
-        src_ref=out_ref.at[_sl(ndim, i_d, m, h)],      # high interior slab
+        src_ref=out_ref.at[_sl(ndim, i_d, v, h)],      # high interior slab
         dst_ref=out_ref.at[_sl(ndim, i_d, 0, h)],
         send_sem=send_sems.at[0],
         recv_sem=recv_sems.at[0],
@@ -245,9 +304,12 @@ def _halo_kernel(x_ref, out_ref, send_sems, recv_sems,
 
 
 def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
-                         i_d: int, periodic: bool, mesh=None, interpret=None):
-    """In-place halo exchange via RDMA puts.  Even splits only (the caller
-    falls back to the ppermute path otherwise)."""
+                         i_d: int, periodic: bool, mesh=None, interpret=None,
+                         splits=None):
+    """In-place halo exchange via RDMA puts.
+
+    ``splits`` gives per-device valid interior extents for non-divisible
+    decompositions (defaults to even: all ``m``)."""
     if interpret is None:
         import os
         interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
@@ -260,8 +322,9 @@ def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
         return None  # caller falls back
     import jax.numpy as jnp
 
+    splits = tuple(splits) if splits is not None else (m,) * P
     kernel = functools.partial(_halo_kernel, P=P, h=h, m=m, i_d=i_d,
-                               ndim=local.ndim,
+                               ndim=local.ndim, splits=splits,
                                axis_name=axis_name, mesh_axes=mesh_axes)
     idx_lo = _sl(local.ndim, i_d, 0, h)
     idx_hi = _sl(local.ndim, i_d, h + m, h)
@@ -275,8 +338,9 @@ def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(local.shape, local.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -285,7 +349,7 @@ def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=8),
         interpret=interpret,
-    )(local)
+    )(local, jnp.asarray(splits, dtype=jnp.int32))
     if not periodic:
         me = lax.axis_index(axis_name)
         lo_slc = tuple(slice(0, h) if d == i_d else slice(None)

@@ -122,6 +122,70 @@ def test_pallas_halo_kernel_1d_mesh():
                                       err_msg=f"periodic={periodic}")
 
 
+def test_pallas_halo_kernel_uneven_splits():
+    # uneven interiors: per-device valid extents via the splits table; each
+    # device's high interior slab starts at its own valid extent
+    from cudecomp_tpu.ops.pallas_kernels import halo_exchange_pallas
+    n, h, m = 4, 1, 5
+    splits = (5, 5, 5, 3)  # global extent 18 over 4 shards, padded to m=5
+    mesh = Mesh(np.array(jax.devices()[:n]), ("x",))
+    rng = np.random.default_rng(3)
+    host = rng.standard_normal((n * (m + 2 * h), 4)).astype(np.float32)
+    x = jnp.asarray(host)
+
+    def ref_fn(local, periodic):
+        me = jax.lax.axis_index("x")
+        v = jnp.take(jnp.asarray(splits), me)
+        lo = local[h:2 * h]
+        hi = jax.lax.dynamic_slice_in_dim(local, v, h, axis=0)
+        fwd = [(j, j + 1) for j in range(n - 1)]
+        bwd = [(j + 1, j) for j in range(n - 1)]
+        if periodic:
+            fwd.append((n - 1, 0))
+            bwd.append((0, n - 1))
+        from_left = jax.lax.ppermute(hi, "x", fwd)
+        from_right = jax.lax.ppermute(lo, "x", bwd)
+        if not periodic:
+            from_left = jnp.where(me == 0, local[0:h], from_left)
+            from_right = jnp.where(me == n - 1,
+                                   local[h + m:h + m + h], from_right)
+        local = local.at[0:h].set(from_left)
+        return local.at[h + m:h + m + h].set(from_right)
+
+    for periodic in (True, False):
+        ref = shard_map_fn(lambda v: ref_fn(v, periodic),
+                           mesh, (P("x"),), P("x"))(x)
+        got = shard_map_fn(
+            lambda v: halo_exchange_pallas(v, "x", n, h, m, 0, periodic,
+                                           interpret=True, splits=splits),
+            mesh, (P("x"),), P("x"))(x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got),
+                                      err_msg=f"periodic={periodic}")
+
+
+def test_halo_engine_pallas_uneven_interpret(monkeypatch):
+    # the halo engine now routes uneven decompositions through the pallas
+    # kernel too (interpret mode on this CPU mesh exercises a 1D sub-mesh)
+    from cudecomp_tpu.config import HaloMethod
+    monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+    cfg = GridConfig(gdims=(9, 10, 11), pdims=(4, 1),
+                     halo_method=HaloMethod.PALLAS)
+    grid = cd.make_grid(cfg, devices=jax.devices()[:4])
+    f = T.global_index_field((9, 10, 11))
+    he = (0, 1, 0)
+    b = cd.scatter_global(grid, f, 0, halo_extents=he)
+    out = cd.update_halos(grid, b, 0, he, (True, True, True))
+    exp = T.expected_halo_buffer(grid, 0, f, he, (True, True, True),
+                                 dims=[1])
+    np.testing.assert_allclose(np.asarray(jax.device_get(out)), exp)
+
+
+def test_mosaic_smoke_interpret():
+    # the hardware compile-smoke path, driven through the interpreter here
+    from cudecomp_tpu.ops.pallas_kernels import mosaic_smoke
+    assert mosaic_smoke(n=64, interpret=True)
+
+
 def test_halo_method_pallas_engine_fallback():
     # HaloMethod.PALLAS on CPU (no RDMA): falls back to ppermute, same result
     from cudecomp_tpu.config import HaloMethod
