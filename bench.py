@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def main(N: int = 256, ITERS: int = 2, n_trials: int = 3):
+def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
@@ -52,23 +52,29 @@ def main(N: int = 256, ITERS: int = 2, n_trials: int = 3):
     def cycle(x, _):
         return plan.inverse(plan.forward(x)), ()
 
-    @jax.jit
-    def run(x):
-        out, _ = lax.scan(cycle, x, None, length=ITERS)
-        # reduce to a scalar: fetching it forces full execution even on
-        # runtimes where block_until_ready returns early (remote tunnels)
-        return jnp.max(jnp.abs(out - x))
+    def make_run(iters):
+        @jax.jit
+        def run(x):
+            out, _ = lax.scan(cycle, x, None, length=iters)
+            # reduce to a scalar: fetching it forces full execution even on
+            # runtimes where block_until_ready returns early (remote tunnels)
+            return jnp.max(jnp.abs(out - x))
+        return run
 
     x = jax.device_put(
         jax.random.normal(jax.random.PRNGKey(0),
                           grid.global_shape(0) + (2,), dtype=jnp.float32),
         grid.sharding(0))
 
-    # correctness gate (reference tolerance 5e-4 single, benchmark.cu:23-27)
-    err = float(run(x))
+    # correctness gate after ONE round trip (reference tolerance 5e-4
+    # single, benchmark.cu:23-27; the timing loop runs many round trips to
+    # amortize the ~32 ms remote-tunnel dispatch latency, which would
+    # accumulate error past the single-trip gate)
+    err = float(make_run(1)(x))
     assert err < 5e-4, f"FFT round-trip max err {err}"
 
-    for _ in range(1):
+    run = make_run(ITERS)
+    for _ in range(2):
         float(run(x))
     times = []
     for _ in range(n_trials):

@@ -54,6 +54,8 @@ class PoissonSolver:
     lengths: Tuple[float, float, float] = (2 * np.pi, 2 * np.pi, 2 * np.pi)
     real: bool = True
     split_complex: bool = False
+    _cache: dict = dataclasses.field(default_factory=dict, compare=False,
+                                     repr=False)
 
     @property
     def plan(self) -> DistributedFFT:
@@ -61,16 +63,22 @@ class PoissonSolver:
                               split_complex=self.split_complex)
 
     def _inv_k2(self):
+        # built once per solver: the host-side wavenumber construction and
+        # gather/scatter round trip would otherwise run on every solve()
+        cached = self._cache.get("inv_k2")
+        if cached is not None:
+            return cached
         plan = self.plan
         k2 = wavenumber_field(plan.complex_grid, self.grid.config.gdims,
                               self.lengths, rfft_x=self.real)
         k2 = np.asarray(jax.device_get(k2))
         with np.errstate(divide="ignore"):
             inv = np.where(k2 > 0, -1.0 / np.maximum(k2, 1e-300), 0.0)
-        from cudecomp_tpu.utils.arrays import scatter_global
         # re-scatter the inverse in the same spectral layout
-        return jax.device_put(jnp.asarray(inv),
-                              plan.complex_grid.sharding(2))
+        out = jax.device_put(jnp.asarray(inv),
+                             plan.complex_grid.sharding(2))
+        self._cache["inv_k2"] = out
+        return out
 
     def solve(self, f):
         """f: X-pencil buffer on ``grid`` (real if ``real=True``)."""

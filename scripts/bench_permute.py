@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def timeit(fn, x, iters=8, trials=3):
+def timeit(fn, x, iters=64, trials=3):
     @jax.jit
     def run(v):
         def body(c, _):
