@@ -1,0 +1,130 @@
+"""Extended benchmark — the BASELINE.md headline metrics.
+
+Reports, as one JSON object per line:
+  * 256^3 c2c FFT GFLOPS (same convention as bench.py / benchmark.cu:658);
+  * 256^3 r2c FFT GFLOPS (twin-descriptor trick, benchmark.cu:238-252);
+  * transpose round-trip ms at the largest N that fits comfortably (512^3
+    f32, axis-contiguous) with the a2a/local segmentation and effective
+    all-to-all GB/s per chip (at_results analog, autotune.cc:546-626 +
+    performance.cc:391,450).
+
+All timings are forced-completion with the tunnel RTT amortized inside one
+jit (see BENCH_NOTES.md).  ``python bench_full.py`` writes BENCH_FULL.json
+too.
+"""
+
+import json
+import math
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _time_scanned_local(fn, x, iters, n_trials):
+    @jax.jit
+    def run(v):
+        def body(c, _):
+            return fn(c), ()
+        out, _ = lax.scan(body, v, None, length=iters)
+        return jnp.sum(out[..., :1])
+
+    float(run(x))
+    float(run(x))
+    ts = []
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        float(run(x))
+        ts.append((time.perf_counter() - t0) / iters)
+    return min(ts)
+
+
+def fft_r2c(N=256, ITERS=10, n_trials=3):
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+    from cudecomp_tpu.ops.fft import DistributedFFT
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    pr = int(math.isqrt(n_dev))
+    while n_dev % pr:
+        pr -= 1
+    cfg = GridConfig(gdims=(N, N, N), pdims=(pr, n_dev // pr))
+    grid = cd.make_grid(cfg, devices=devices)
+    plan = DistributedFFT(grid=grid, real=True, split_complex=True)
+
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), grid.global_shape(0),
+                          dtype=jnp.float32), grid.sharding(0))
+
+    def cycle(v):
+        return plan.inverse(plan.forward(v))
+
+    # correctness gate: one round trip (reference 5e-4 single)
+    @jax.jit
+    def gate(v):
+        return jnp.max(jnp.abs(cycle(v) - v))
+    err = float(gate(x))
+    assert err < 5e-4, f"r2c round-trip max err {err}"
+
+    t = _time_scanned_local(cycle, x, ITERS, n_trials) / 2.0
+    n_total = N ** 3
+    # r2c convention: half the flops of c2c (benchmark.cu applies the same
+    # 5 N log2 N formula to the real transform size)
+    gflops = 2.5 * n_total * math.log2(n_total) / t / 1e9
+    return {"metric": f"{N}^3 r2c FFT single-direction (split-complex MXU, "
+                      f"{n_dev} chip{'s' if n_dev > 1 else ''})",
+            "value": round(gflops, 2), "unit": "GFLOPS", "err": err}
+
+
+def transpose_headline(N=512, n_trials=3, iters=8):
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+    from cudecomp_tpu import performance as perf
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    pr = int(math.isqrt(n_dev))
+    while n_dev % pr:
+        pr -= 1
+    cfg = GridConfig(gdims=(N, N, N), pdims=(pr, n_dev // pr),
+                     transpose_axis_contiguous=(True, True, True))
+    grid = cd.make_grid(cfg, devices=devices)
+    seg = perf.segment_roundtrip(grid, np.float32, iters=iters,
+                                 n_warmup=2, n_trials=n_trials, record=False)
+    nbytes_moved = 4 * N ** 3 * 4 / n_dev  # 4 ops, f32, per chip (incl self)
+    return {"metric": f"{N}^3 f32 transpose round-trip (X2Y;Y2Z;Z2Y;Y2X, "
+                      f"{n_dev} chip{'s' if n_dev > 1 else ''}, "
+                      f"axis-contiguous)",
+            "value": round(seg["total_ms"], 3), "unit": "ms",
+            "a2a_ms": round(seg["a2a_ms"], 3),
+            "local_ms": round(seg["local_ms"], 3),
+            "a2a_gbps_per_chip": (round(seg["a2a_gbps"], 2)
+                                  if seg["a2a_ms"] > 0 else None),
+            "local_gbps_per_chip": round(
+                2 * nbytes_moved / (seg["local_ms"] / 1e3) / 1e9, 2)}
+
+
+def main():
+    import bench
+    results = []
+
+    # c2c headline (prints its own line)
+    bench.main()
+
+    r = fft_r2c()
+    print(json.dumps(r))
+    results.append(r)
+
+    r = transpose_headline()
+    print(json.dumps(r))
+    results.append(r)
+
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

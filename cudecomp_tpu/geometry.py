@@ -295,41 +295,43 @@ _WORKSPACE_ALIGN_BYTES = 256
 
 
 def _align_count(count: int, elem_bytes: int = 4) -> int:
-    """Round an element count up to a 256-byte boundary (4-byte elements),
-    mirroring ``alignCountToBytes`` usage in ``src/cudecomp.cc:1421-1427``."""
-    per = _WORKSPACE_ALIGN_BYTES // elem_bytes
+    """Round an element count up to a 256-byte boundary for the given
+    element width, mirroring ``alignCountToBytes`` usage in
+    ``src/cudecomp.cc:1421-1427`` (the reference aligns per dtype)."""
+    per = max(_WORKSPACE_ALIGN_BYTES // elem_bytes, 1)
     return (count + per - 1) // per * per
 
 
-def transpose_workspace_size(cfg: GridConfig) -> int:
+def transpose_workspace_size(cfg: GridConfig, elem_bytes: int = 4) -> int:
     """Diagnostic parity with ``cudecompGetTransposeWorkspaceSize``
     (``src/cudecomp.cc:1411-1432``): the element count the reference would
-    allocate.  XLA owns real buffers; this is for parity tests and memory
-    estimates only."""
+    allocate for elements of ``elem_bytes`` width (4 = float32/complex-half,
+    8 = float64/complex64, 16 = complex128).  XLA owns real buffers; this is
+    for parity tests and memory estimates only."""
     mx = global_max_pencil_size(cfg, 0)
     my = global_max_pencil_size(cfg, 1)
     mz = global_max_pencil_size(cfg, 2)
-    w_xy = _align_count(mx) + my
-    w_yx = _align_count(my) + mx
-    w_yz = _align_count(my) + mz
-    w_zy = _align_count(mz) + my
+    w_xy = _align_count(mx, elem_bytes) + my
+    w_yx = _align_count(my, elem_bytes) + mx
+    w_yz = _align_count(my, elem_bytes) + mz
+    w_zy = _align_count(mz, elem_bytes) + my
     return max(w_xy, w_yx, w_yz, w_zy)
 
 
 def halo_workspace_size(
     cfg: GridConfig, axis: int, halo_extents: Sequence[int],
-    coords: Tuple[int, int] = (0, 0),
+    coords: Tuple[int, int] = (0, 0), elem_bytes: int = 4,
 ) -> int:
     """Diagnostic parity with ``cudecompGetHaloWorkspaceSize``
     (``src/cudecomp.cc:1434-1459``): 4 aligned slots of the largest halo
-    slab for the rank at ``coords``."""
+    slab for the rank at ``coords`` (alignment per ``elem_bytes``)."""
     pinfo = get_pencil_info(cfg, axis, coords, halo_extents=halo_extents)
     sg = pinfo.shape_g
     he = pinfo.halo_extents
     sizes = [
-        4 * _align_count(sg[1] * sg[2] * he[0]),
-        4 * _align_count(sg[0] * sg[2] * he[1]),
-        4 * _align_count(sg[0] * sg[1] * he[2]),
+        4 * _align_count(sg[1] * sg[2] * he[0], elem_bytes),
+        4 * _align_count(sg[0] * sg[2] * he[1], elem_bytes),
+        4 * _align_count(sg[0] * sg[1] * he[2], elem_bytes),
     ]
     return max(sizes)
 

@@ -140,8 +140,10 @@ def _twiddle_bk(b: int, a: int, inverse: bool, dtype_name: str):
 
 def _use_gauss() -> bool:
     """Gauss/Karatsuba complex multiply: 3 real matmuls instead of 4 (25%
-    fewer MXU flops, a few extra VPU adds).  Env: CUDECOMP_TPU_FFT_GAUSS=1."""
-    return os.environ.get("CUDECOMP_TPU_FFT_GAUSS", "0") == "1"
+    fewer MXU flops, a few extra VPU adds).  Default ON — measured 524 vs
+    423 GFLOPS at 256^3 on v5e with the round-trip gate passing
+    (BENCH_NOTES.md r2).  Env: CUDECOMP_TPU_FFT_GAUSS=0 restores 4 matmuls."""
+    return os.environ.get("CUDECOMP_TPU_FFT_GAUSS", "1") == "1"
 
 
 def _cmatmul(xr, xi, mr, mi, eq):
