@@ -98,4 +98,10 @@ def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    kw = {}
+    if len(sys.argv) > 1:
+        kw["N"] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kw["ITERS"] = int(sys.argv[2])
+    main(**kw)

@@ -97,7 +97,14 @@ class PerfRegistry:
             out.append(row)
         return out
 
-    def report(self) -> str:
+    def report(self, detail: int = None) -> str:
+        """Aggregated table; ``detail >= 1`` appends per-sample times per
+        config (the reference's detail levels, performance.cc:480-700 —
+        level 2's cross-rank gather is the registry itself on a
+        multi-controller deployment, where each process holds its own).
+        Default from CUDECOMP_TPU_PERF_DETAIL."""
+        if detail is None:
+            detail = int(os.environ.get("CUDECOMP_TPU_PERF_DETAIL", "0"))
         lines = ["CUDECOMP_TPU: performance report",
                  f"{'config':60s} {'count':>6s} {'avg ms':>10s} {'min ms':>10s} "
                  f"{'max ms':>10s} {'std':>8s} {'A2A GB/s':>10s}"]
@@ -107,6 +114,14 @@ class PerfRegistry:
                 f"{r['config']:60s} {r['count']:6d} {r['avg_ms']:10.4f} "
                 f"{r['min_ms']:10.4f} {r['max_ms']:10.4f} {r['std_ms']:8.4f} "
                 f"{bw:>10s}")
+        if detail >= 1:
+            for key, s in sorted(self.samples.items(),
+                                 key=lambda kv: str(kv[0])):
+                if not s.times_ms:
+                    continue
+                lines.append(f"  samples {'/'.join(str(k) for k in key)}:")
+                for i, t in enumerate(s.times_ms):
+                    lines.append(f"    {i:4d} {t:10.4f} ms")
         return "\n".join(lines)
 
     def write_csv(self, directory: str = ".", prefix: str = "cudecomp_tpu_perf"):

@@ -1,10 +1,12 @@
-"""Prototype: fused X+Y dense-DFT Pallas kernel (one HBM pass, two axes).
+"""Prototype: fused 2-axis dense-DFT Pallas kernel (one HBM pass, two axes).
 
 The in-place einsum FFT is HBM-bound at HIGH precision: each axis
 contraction makes a full read+write pass over the field.  For the natural
-layout, the X and Y contractions of one z-block touch only that block, so a
+layout, the Y and Z contractions of one x-block touch only that block, so a
 Pallas kernel can do both while the block sits in VMEM — halving HBM
-traffic for the first two stages of a 3D FFT (or a 2D slab stage).
+traffic for two of the three stages of a 3D FFT (or a 2D slab stage).
+Block geometry (Bx, N, N): the trailing two dims are full, satisfying the
+Mosaic (8, 128) block divisibility rule.
 
     python scripts/tune_fused_xy.py [N]
 """
@@ -24,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def timeit(fn, args, iters=16, trials=3):
+def timeit(fn, args, iters=48, trials=3):
     @jax.jit
     def run(a):
         def body(c, _):
@@ -46,7 +48,8 @@ def _fused_kernel(xr_ref, xi_ref, cr_ref, ci_ref, or_ref, oi_ref, *, prec):
     xi = xi_ref[...]
     cr = cr_ref[...]
     ci = ci_ref[...]
-    dot = functools.partial(jnp.einsum, precision=prec)
+    dot = functools.partial(jnp.einsum, precision=prec,
+                            preferred_element_type=jnp.float32)
 
     def cmul(eq, ar, ai):
         k1 = dot(eq, ar + ai, cr)
@@ -54,30 +57,29 @@ def _fused_kernel(xr_ref, xi_ref, cr_ref, ci_ref, or_ref, oi_ref, *, prec):
         k3 = dot(eq, ai, cr + ci)
         return k1 - k3, k1 + k2
 
-    # X-DFT in place (contract dim 0)
-    yr, yi = cmul("xyb,xX->Xyb", xr, xi)
-    # Y-DFT in place (contract dim 1)
-    zr, zi = cmul("xyb,yY->xYb", yr, yi)
+    # Y-DFT in place (contract dim 1 of (Bx, N, N))
+    yr, yi = cmul("byc,yY->bYc", xr, xi)
+    # Z-DFT in place (contract dim 2)
+    zr, zi = cmul("byc,cC->byC", yr, yi)
     or_ref[...] = zr
     oi_ref[...] = zi
 
 
-def fused_xy(xr, xi, cr, ci, bz, prec):
-    N = xr.shape[0]
-    Z = xr.shape[2]
-    grid = (Z // bz,)
+def fused_yz(xr, xi, cr, ci, bx, prec):
+    X, Y, Z = xr.shape
+    grid = (X // bx,)
     return pl.pallas_call(
         functools.partial(_fused_kernel, prec=prec),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N, N, bz), lambda k: (0, 0, k)),
-            pl.BlockSpec((N, N, bz), lambda k: (0, 0, k)),
-            pl.BlockSpec((N, N), lambda k: (0, 0)),
-            pl.BlockSpec((N, N), lambda k: (0, 0)),
+            pl.BlockSpec((bx, Y, Z), lambda k: (k, 0, 0)),
+            pl.BlockSpec((bx, Y, Z), lambda k: (k, 0, 0)),
+            pl.BlockSpec((Y, Y), lambda k: (0, 0)),
+            pl.BlockSpec((Y, Y), lambda k: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((N, N, bz), lambda k: (0, 0, k)),
-            pl.BlockSpec((N, N, bz), lambda k: (0, 0, k)),
+            pl.BlockSpec((bx, Y, Z), lambda k: (k, 0, 0)),
+            pl.BlockSpec((bx, Y, Z), lambda k: (k, 0, 0)),
         ],
         out_shape=[jax.ShapeDtypeStruct(xr.shape, xr.dtype)] * 2,
     )(xr, xi, cr, ci)
@@ -100,25 +102,25 @@ def main(N=256):
             k2 = jnp.einsum(eq, r, ci - cr, precision=prec)
             k3 = jnp.einsum(eq, i, cr + ci, precision=prec)
             return k1 - k3, k1 + k2
-        yr, yi = cmul("xyb,xX->Xyb", ar, ai)
-        return cmul("xyb,yY->xYb", yr, yi)
+        yr, yi = cmul("byc,yY->bYc", ar, ai)
+        return cmul("byc,cC->byC", yr, yi)
 
     t = timeit(lambda a, b: xla_two(a, b), (xr, xi))
-    print(f"XLA 2-stage einsum XY:        {t*1e3:7.3f} ms", flush=True)
+    print(f"XLA 2-stage einsum YZ:        {t*1e3:7.3f} ms", flush=True)
     want_r, want_i = jax.jit(xla_two)(xr, xi)
 
-    for bz in (4, 8, 16):
+    for bx in (4, 8, 16):
         try:
-            fn = lambda a, b, bz=bz: tuple(fused_xy(a, b, cr, ci, bz, prec))
+            fn = lambda a, b, bx=bx: tuple(fused_yz(a, b, cr, ci, bx, prec))
             got_r, got_i = jax.jit(fn)(xr, xi)
             err = float(jnp.max(jnp.abs(got_r - want_r))
                         + jnp.max(jnp.abs(got_i - want_i)))
             t = timeit(fn, (xr, xi))
-            print(f"pallas fused XY bz={bz:3d}:      {t*1e3:7.3f} ms   "
+            print(f"pallas fused YZ bx={bx:3d}:      {t*1e3:7.3f} ms   "
                   f"err {err:.2e}", flush=True)
         except Exception as e:
-            print(f"pallas fused XY bz={bz:3d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+            print(f"pallas fused YZ bx={bx:3d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":
