@@ -152,9 +152,9 @@ class DistributedFFT:
     def _fftn(self, x, axes, inverse):
         if self.split_complex:
             from cudecomp_tpu.ops import mxu_fft
-            for a in axes:
-                x = mxu_fft.fft_split(x, axis=a, inverse=inverse)
-            return x
+            # fuses the (1, 2) axis pair into the one-HBM-pass Pallas
+            # kernel when the layout/platform allows
+            return mxu_fft.fft_split_axes(x, axes, inverse=inverse)
         return _xla_fftn(x, axes, inverse)
 
     def forward(self, x):

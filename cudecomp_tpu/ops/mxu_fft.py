@@ -222,6 +222,111 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
     return outr.reshape(shape), outi.reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# fused 2-axis dense DFT (Pallas): one HBM pass for two transform stages
+# ---------------------------------------------------------------------------
+
+def _dft2_gate(xr, n1, n2) -> bool:
+    """Can the fused kernel run for dims (1, 2) of this 3D split pair?"""
+    if os.environ.get("CUDECOMP_TPU_FFT_FUSED2", "1") != "1":
+        return False
+    if xr.ndim != 3 or xr.dtype != jnp.float32:
+        return False
+    if n1 > 256 or n2 > 256 or n1 % 8 or n2 % 128:
+        return False  # VMEM weight budget + Mosaic tiling rules
+    interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
+    if not interpret and jax.default_backend() in ("cpu", "gpu"):
+        return False
+    return True
+
+
+def dft2_fused(xr, xi, inverse: bool, bx: int = 8, interpret=None):
+    """Dense DFT over dims 1 and 2 of 3D split-complex arrays in ONE HBM
+    pass: a Pallas kernel grids over x-blocks ``(bx, N1, N2)``, performs the
+    Y contraction then the Z contraction while the block sits in VMEM, and
+    writes the result once.  The chained einsum path makes two full
+    read+write passes — this kernel halves the HBM traffic of two stages,
+    the TPU-shaped version of the reference's "fuse twiddle + second GEMM"
+    optimization (VERDICT r1 item 2c; cuFFT does this inside its plans).
+
+    Inverse folds the 1/(N1*N2) scale into the Z-stage weights.  Returns
+    None when the kernel cannot run (caller falls back to per-axis einsums).
+    """
+    from jax.experimental import pallas as pl
+
+    X, n1, n2 = xr.shape
+    if interpret is None:
+        interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET",
+                                   "0") == "1"
+    if not _dft2_gate(xr, n1, n2):
+        return None
+    while X % bx:
+        bx //= 2  # largest power-of-two block that tiles X
+    if bx == 0:
+        return None
+
+    dt = str(xr.dtype)
+    cy, sy = _dft_mats(n1, inverse, dt)
+    cz, sz = _dft_mats(n2, inverse, dt)
+    if inverse:
+        scale = 1.0 / (n1 * n2)
+        cz = cz * scale
+        sz = sz * scale
+    prec = _PREC or _precision()
+    gauss = _use_gauss()
+
+    def kernel(xr_ref, xi_ref, cy_ref, sy_ref, cz_ref, sz_ref,
+               or_ref, oi_ref):
+        def cmul(eq, ar, ai, mr, mi):
+            dot = partial(jnp.einsum, eq, precision=prec,
+                          preferred_element_type=jnp.float32)
+            if gauss:
+                k1 = dot(ar + ai, mr)
+                k2 = dot(ar, mi - mr)
+                k3 = dot(ai, mr + mi)
+                return k1 - k3, k1 + k2
+            return (dot(ar, mr) - dot(ai, mi),
+                    dot(ar, mi) + dot(ai, mr))
+
+        yr, yi = cmul("byc,yY->bYc", xr_ref[...], xi_ref[...],
+                      cy_ref[...], sy_ref[...])
+        zr, zi = cmul("byc,cC->byC", yr, yi, cz_ref[...], sz_ref[...])
+        or_ref[...] = zr
+        oi_ref[...] = zi
+
+    wspec = [
+        pl.BlockSpec((n1, n1), lambda k: (0, 0)),
+        pl.BlockSpec((n1, n1), lambda k: (0, 0)),
+        pl.BlockSpec((n2, n2), lambda k: (0, 0)),
+        pl.BlockSpec((n2, n2), lambda k: (0, 0)),
+    ]
+    bspec = pl.BlockSpec((bx, n1, n2), lambda k: (k, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(X // bx,),
+        in_specs=[bspec, bspec] + wspec,
+        out_specs=[bspec, bspec],
+        out_shape=[jax.ShapeDtypeStruct(xr.shape, xr.dtype)] * 2,
+        interpret=interpret,
+    )(xr, xi, jnp.asarray(cy), jnp.asarray(sy),
+      jnp.asarray(cz), jnp.asarray(sz))
+
+
+def fft_split_axes(x, axes, inverse: bool = False):
+    """FFT of split-complex ``x`` (..., 2) along several data axes,
+    fusing the (1, 2) pair into the one-pass Pallas kernel when possible."""
+    ndim = x.ndim - 1
+    axes = [a % ndim for a in axes]
+    if ndim == 3 and {1, 2} <= set(axes):
+        out = dft2_fused(x[..., 0], x[..., 1], inverse)
+        if out is not None:
+            x = jnp.stack(out, axis=-1)
+            axes = [a for a in axes if a not in (1, 2)]
+    for a in axes:
+        x = fft_split(x, axis=a, inverse=inverse)
+    return x
+
+
 def fft_split(x, axis: int, inverse: bool = False):
     """FFT of split-complex ``x`` (..., 2) along data dim ``axis``.
 

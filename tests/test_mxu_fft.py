@@ -65,6 +65,32 @@ def test_four_step_recursion(monkeypatch):
         np.testing.assert_allclose(b, x, rtol=0, atol=1e-10)
 
 
+def test_fused_dft2_interpret(monkeypatch):
+    # the one-HBM-pass (1,2)-axis-pair kernel vs the per-axis path,
+    # forward and inverse, via the Pallas interpreter
+    monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+    x = RNG.standard_normal((16, 8, 128)) + 1j * RNG.standard_normal(
+        (16, 8, 128))
+    xs = M.to_split(jnp.asarray(x).astype(jnp.complex64))
+    assert M.dft2_fused(xs[..., 0], xs[..., 1], False) is not None
+    out = M.fft_split_axes(xs, [0, 1, 2])
+    want = np.fft.fftn(x, axes=(0, 1, 2))
+    got = np.asarray(M.from_split(out))
+    assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-5
+    inv = M.fft_split_axes(out, [1, 2, 0], inverse=True)
+    assert float(jnp.max(jnp.abs(inv - xs))) < 1e-4
+
+
+def test_fused_dft2_gate_falls_back():
+    # off-TPU without interpret: engine must fall back to per-axis einsums
+    x = RNG.standard_normal((8, 8, 128, 2)).astype(np.float32)
+    assert M.dft2_fused(jnp.asarray(x[..., 0]), jnp.asarray(x[..., 1]),
+                        False) is None
+    out = M.fft_split_axes(jnp.asarray(x), [1, 2])
+    ref = M.fft_split(M.fft_split(jnp.asarray(x), 1), 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_factor_overrides_env(monkeypatch):
     monkeypatch.setenv("CUDECOMP_TPU_FFT_FACTORS", "64=16x4,junk,8=axb")
     assert M._best_factorization(64) == (16, 4)  # override applied
