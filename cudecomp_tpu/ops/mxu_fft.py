@@ -227,8 +227,15 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
 # ---------------------------------------------------------------------------
 
 def _dft2_gate(xr, n1, n2) -> bool:
-    """Can the fused kernel run for dims (1, 2) of this 3D split pair?"""
-    if os.environ.get("CUDECOMP_TPU_FFT_FUSED2", "1") != "1":
+    """Can the fused kernel run for dims (1, 2) of this 3D split pair?
+
+    Opt-in (CUDECOMP_TPU_FFT_FUSED2=1): measured on v5e, the chained XLA
+    einsum stages already run at ~80% of their 2-pass HBM roofline, and
+    Mosaic's dot lowering rejects Precision.HIGH, so the in-kernel
+    contractions would run at HIGHEST (compute-bound) — the one-pass DMA
+    saving does not pay for the extra MXU passes yet.  Revisit with a
+    manual bf16x3 (pre-split weights) in-kernel path."""
+    if os.environ.get("CUDECOMP_TPU_FFT_FUSED2", "0") != "1":
         return False
     if xr.ndim != 3 or xr.dtype != jnp.float32:
         return False
@@ -273,6 +280,8 @@ def dft2_fused(xr, xi, inverse: bool, bx: int = 8, interpret=None):
         cz = cz * scale
         sz = sz * scale
     prec = _PREC or _precision()
+    if prec == lax.Precision.HIGH:
+        prec = lax.Precision.HIGHEST  # Mosaic dot lowering rejects HIGH
     gauss = _use_gauss()
 
     def kernel(xr_ref, xi_ref, cy_ref, sy_ref, cz_ref, sz_ref,

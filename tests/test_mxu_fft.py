@@ -69,6 +69,7 @@ def test_fused_dft2_interpret(monkeypatch):
     # the one-HBM-pass (1,2)-axis-pair kernel vs the per-axis path,
     # forward and inverse, via the Pallas interpreter
     monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_FUSED2", "1")
     x = RNG.standard_normal((16, 8, 128)) + 1j * RNG.standard_normal(
         (16, 8, 128))
     xs = M.to_split(jnp.asarray(x).astype(jnp.complex64))
