@@ -77,3 +77,41 @@ def test_save_and_load_tuned_config(tmp_path):
     cfg2 = load_tuned_config(p, cfg)
     assert cfg2.pdims == result.best_pdims
     assert cfg2.transpose_method == result.best_method
+
+
+def test_cross_host_trial_reduction(monkeypatch):
+    # mocked multi-controller: trial times are averaged across processes so
+    # every host scores candidates identically (autotune.cc:167-188 analog)
+    import numpy as np
+    from importlib import import_module
+    at = import_module("cudecomp_tpu.autotune")
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    class FakeMH:
+        @staticmethod
+        def process_allgather(x):
+            return np.stack([np.asarray(x), np.asarray(x) + 1.0])
+
+    monkeypatch.setattr(jax.experimental, "multihost_utils", FakeMH)
+    import sys
+    monkeypatch.setitem(sys.modules, "jax.experimental.multihost_utils",
+                        FakeMH)
+    out = at._allreduce_trials([1.0, 3.0])
+    assert out == [1.5, 3.5]
+
+
+def test_autotune_error_surfaced(monkeypatch):
+    # when every candidate fails, the first underlying exception is chained
+    import pytest
+    from importlib import import_module
+    at = import_module("cudecomp_tpu.autotune")
+
+    def boom(*a, **k):
+        raise RuntimeError("kaboom-inner")
+
+    monkeypatch.setattr(at, "_time_roundtrip", boom)
+    cfg = GridConfig(gdims=(16, 16, 16))
+    with pytest.raises(RuntimeError, match="kaboom-inner"):
+        autotune(cfg, devices=jax.devices()[:4],
+                 options=AutotuneOptions(n_warmup=0, n_trials=1))
