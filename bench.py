@@ -66,12 +66,22 @@ def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
                           grid.global_shape(0) + (2,), dtype=jnp.float32),
         grid.sharding(0))
 
-    # correctness gate after ONE round trip (reference tolerance 5e-4
-    # single, benchmark.cu:23-27; the timing loop runs many round trips to
-    # amortize the ~32 ms remote-tunnel dispatch latency, which would
-    # accumulate error past the single-trip gate)
-    err = float(make_run(1)(x))
-    assert err < 5e-4, f"FFT round-trip max err {err}"
+    # Policy selection with a correctness gate after ONE round trip
+    # (reference tolerance 5e-4 single, benchmark.cu:23-27; the timing loop
+    # runs many round trips to amortize the ~32 ms remote-tunnel dispatch
+    # latency, which would accumulate error past the single-trip gate).
+    # Like the reference benchmarking the fastest correct library config
+    # (cuFFT), this tries the fast bf16x3 matmul policy first and falls
+    # back to full-f32 HIGHEST if the gate fails on this size/data.
+    user_policy = os.environ.get("CUDECOMP_TPU_FFT_PRECISION")
+    policies = [user_policy] if user_policy else ["high", "highest"]
+    err = None
+    for policy in policies:
+        os.environ["CUDECOMP_TPU_FFT_PRECISION"] = policy
+        err = float(make_run(1)(x))
+        if err < 5e-4:
+            break
+    assert err is not None and err < 5e-4, f"FFT round-trip max err {err}"
 
     run = make_run(ITERS)
     for _ in range(2):
@@ -90,6 +100,7 @@ def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
 
     print(json.dumps({
         "metric": f"{N}^3 c2c FFT single-direction (split-complex MXU, "
+                  f"{policy} gate-checked err {err:.1e}, "
                   f"{n_dev} chip{'s' if n_dev > 1 else ''}, pdims {pdims})",
         "value": round(gflops, 2),
         "unit": "GFLOPS",
