@@ -322,18 +322,33 @@ def dft2_fused(xr, xi, inverse: bool, bx: int = 8, interpret=None):
 
 
 def fft_split_axes(x, axes, inverse: bool = False):
-    """FFT of split-complex ``x`` (..., 2) along several data axes,
-    fusing the (1, 2) pair into the one-pass Pallas kernel when possible."""
+    """FFT of split-complex ``x`` (..., 2) along several data axes.
+
+    Carries the (re, im) planes separately across ALL stages (one slice at
+    entry, one stack at exit — per-axis ``fft_split`` would re-stack and
+    re-slice at every stage boundary, risking an extra HBM pass each), and
+    fuses the (1, 2) pair into the one-pass Pallas kernel when enabled.
+    Inverse applies the combined 1/prod(N) scale once, in the last stage's
+    epilogue."""
     ndim = x.ndim - 1
     axes = [a % ndim for a in axes]
+    if not axes:
+        return x
+    r, i = x[..., 0], x[..., 1]
+    scale = 1.0
     if ndim == 3 and {1, 2} <= set(axes):
-        out = dft2_fused(x[..., 0], x[..., 1], inverse)
+        out = dft2_fused(r, i, inverse)
         if out is not None:
-            x = jnp.stack(out, axis=-1)
+            r, i = out
             axes = [a for a in axes if a not in (1, 2)]
     for a in axes:
-        x = fft_split(x, axis=a, inverse=inverse)
-    return x
+        if inverse:
+            scale *= 1.0 / x.shape[a]
+        r, i = _fft_core(r, i, inverse, a)
+    if inverse and scale != 1.0:
+        r = r * scale
+        i = i * scale
+    return jnp.stack([r, i], axis=-1)
 
 
 def fft_split(x, axis: int, inverse: bool = False):

@@ -206,12 +206,35 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
             return tr.transpose_y_to_x(grid, b, method=mm)
         return f
 
-    x = jax.device_put(np.zeros(grid.global_shape(0), dtype),
-                       grid.sharding(0))
-    total = float(np.min(time_scanned(rt(m), x, iters=iters,
-                                      n_warmup=n_warmup, n_trials=n_trials)))
-    local = float(np.min(time_scanned(rt("_local_only"), x, iters=iters,
-                                      n_warmup=n_warmup, n_trials=n_trials)))
+    ops = [(tr.transpose_x_to_y, 0), (tr.transpose_y_to_z, 1),
+           (tr.transpose_z_to_y, 2), (tr.transpose_y_to_x, 1)]
+    single_chip = cfg.pdims == (1, 1)
+    shapes_match = (grid.global_shape(0) == grid.global_shape(1)
+                    == grid.global_shape(2))
+    if single_chip and shapes_match:
+        # On one chip the chained round trip composes to the identity
+        # permutation and XLA folds it away entirely — time each op in its
+        # own scan instead (scan iterations cannot fuse with each other),
+        # the analog of the reference's per-op event pairs.
+        total = 0.0
+        for op, in_ax in ops:
+            xo = jax.device_put(np.zeros(grid.global_shape(in_ax), dtype),
+                                grid.sharding(in_ax))
+            # the *1.0000001 pins a real elementwise pass to the output so
+            # layout assignment cannot turn the permute into a bitcast on
+            # the scan carry (it fuses into the transpose's write)
+            total += float(np.min(time_scanned(
+                lambda a, op=op: op(grid, a, method=m) * 1.0000001, xo,
+                iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
+        local = total  # no collective exists on a single chip
+    else:
+        x = jax.device_put(np.zeros(grid.global_shape(0), dtype),
+                           grid.sharding(0))
+        total = float(np.min(time_scanned(
+            rt(m), x, iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
+        local = float(np.min(time_scanned(
+            rt("_local_only"), x, iters=iters, n_warmup=n_warmup,
+            n_trials=n_trials)))
     a2a = max(total - local, 0.0)
 
     # per-chip bytes leaving the chip over the round trip (4 exchanges)
@@ -223,7 +246,7 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
         ms_in = geometry.max_splits(cfg, ax)
         elems = ms_in[0] * ms_in[1] * ms_in[2]
         nbytes += int(elems * itemsize * (P - 1) / max(P, 1))
-    gbps = nbytes / a2a / 1e9 if a2a > 0 else float("inf")
+    gbps = nbytes / a2a / 1e9 if a2a > 0 else 0.0
 
     out = {"total_ms": total * 1e3, "a2a_ms": a2a * 1e3,
            "local_ms": local * 1e3, "a2a_gbps": gbps}
