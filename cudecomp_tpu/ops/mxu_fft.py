@@ -370,10 +370,52 @@ def fft_split(x, axis: int, inverse: bool = False):
     return jnp.stack([r, i], axis=-1)
 
 
+@lru_cache(maxsize=None)
+def _rdft_mats(n: int, dtype_name: str):
+    """Dense real-to-half-spectrum DFT matrices (n, n//2 + 1)."""
+    nh = n // 2 + 1
+    ang = 2.0 * np.pi * np.outer(np.arange(n), np.arange(nh)) / n
+    return (np.cos(ang).astype(dtype_name),
+            (-np.sin(ang)).astype(dtype_name))
+
+
+@lru_cache(maxsize=None)
+def _irdft_mats(n: int, dtype_name: str):
+    """Dense half-spectrum-to-real inverse matrices (n//2 + 1, n).
+
+    x[j] = (1/n) sum_k alpha_k (Fr[k] cos(2 pi j k / n) - Fi[k] sin(...)),
+    alpha_k = 1 for k = 0 (and k = n/2 when n even), else 2 — the Hermitian
+    mirror folded into the constants so no spectrum reconstruction pass is
+    needed.
+    """
+    nh = n // 2 + 1
+    k = np.arange(nh)
+    alpha = np.full(nh, 2.0)
+    alpha[0] = 1.0
+    if n % 2 == 0:
+        alpha[-1] = 1.0
+    ang = 2.0 * np.pi * np.outer(k, np.arange(n)) / n
+    cr = (alpha[:, None] * np.cos(ang)) / n
+    ci = (-alpha[:, None] * np.sin(ang)) / n
+    return cr.astype(dtype_name), ci.astype(dtype_name)
+
+
 def rfft_split(x, axis: int):
-    """Real-to-split-complex FFT along ``axis``: output extent N//2 + 1."""
+    """Real-to-split-complex FFT along ``axis``: output extent N//2 + 1.
+
+    For dense-DFT sizes the contraction uses (N, N//2+1) matrices directly
+    — half the flops and output traffic of transforming the full spectrum
+    and slicing.
+    """
     n = x.shape[axis]
     axis = axis % x.ndim
+    if n <= _direct_threshold() or _best_factorization(n)[1] == 1:
+        c, s = _rdft_mats(n, str(x.dtype))
+        eq = _axis_eq(x.ndim, axis)
+        prec = _PREC or _precision()
+        r = jnp.einsum(eq, x, jnp.asarray(c), precision=prec)
+        i = jnp.einsum(eq, x, jnp.asarray(s), precision=prec)
+        return jnp.stack([r, i], axis=-1)
     r, i = _fft_core(x, jnp.zeros_like(x), inverse=False, axis=axis)
     r = lax.slice_in_dim(r, 0, n // 2 + 1, axis=axis)
     i = lax.slice_in_dim(i, 0, n // 2 + 1, axis=axis)
@@ -381,10 +423,21 @@ def rfft_split(x, axis: int):
 
 
 def irfft_split(x, axis: int, n: int):
-    """Split-complex-to-real inverse FFT along ``axis`` (output extent n)."""
+    """Split-complex-to-real inverse FFT along ``axis`` (output extent n).
+
+    Dense sizes contract the half spectrum straight to the real signal with
+    the Hermitian weights folded into (N//2+1, N) constants — no spectrum
+    reconstruction pass, two real matmuls at half K.
+    """
     ndim = x.ndim - 1
     axis = axis % ndim
     r, i = x[..., 0], x[..., 1]
+    if n <= _direct_threshold() or _best_factorization(n)[1] == 1:
+        cr, ci = _irdft_mats(n, str(r.dtype))
+        eq = _axis_eq(r.ndim, axis)
+        prec = _PREC or _precision()
+        return (jnp.einsum(eq, r, jnp.asarray(cr), precision=prec)
+                + jnp.einsum(eq, i, jnp.asarray(ci), precision=prec))
     # rebuild the full Hermitian spectrum: F[k] = conj(F[n-k]) for k > n//2
     k_half = n // 2
     mr = jnp.flip(lax.slice_in_dim(r, 1, n - k_half, axis=axis), axis=axis)

@@ -39,6 +39,20 @@ def test_rfft_irfft_split_vs_numpy(n):
     np.testing.assert_allclose(b, x, rtol=0, atol=1e-12)
 
 
+def test_rfft_dense_path_large_n(monkeypatch):
+    # TPU production threshold (512) sends n=256 through the half-spectrum
+    # dense matrices; CPU default would use the generic path
+    monkeypatch.setattr(M, "DIRECT_THRESHOLD", 512)
+    for n in (64, 255, 256):
+        x = RNG.standard_normal((3, n))
+        f = np.asarray(M.from_split(M.rfft_split(jnp.asarray(x), axis=1)))
+        np.testing.assert_allclose(f, np.fft.rfft(x, axis=1), rtol=1e-10,
+                                   atol=1e-8)
+        b = np.asarray(M.irfft_split(M.rfft_split(jnp.asarray(x), axis=1),
+                                     axis=1, n=n))
+        np.testing.assert_allclose(b, x, rtol=0, atol=1e-11)
+
+
 def test_fft_split_any_axis():
     x = RNG.standard_normal((6, 8, 10)) + 1j * RNG.standard_normal((6, 8, 10))
     xs = M.to_split(jnp.asarray(x))
