@@ -59,7 +59,8 @@ from cudecomp_tpu.ops import fft
 from cudecomp_tpu.ops.fft import DistributedFFT, fft3d, ifft3d
 from cudecomp_tpu.autotune import autotune, AutotuneResult
 from cudecomp_tpu import performance
-from cudecomp_tpu.performance import perf_report_enable, profile_trace
+from cudecomp_tpu.performance import (perf_report_enable, profile_trace,
+                                      segment_roundtrip)
 from cudecomp_tpu.utils import checkpoint
 from cudecomp_tpu.utils.arrays import (
     scatter_global,
@@ -100,6 +101,7 @@ __all__ = [
     "performance",
     "perf_report_enable",
     "profile_trace",
+    "segment_roundtrip",
     "checkpoint",
     "scatter_global",
     "gather_global",

@@ -103,10 +103,11 @@ def load_tuned_config(path: str, base_config: GridConfig) -> GridConfig:
 
 def _complex_supported(device) -> bool:
     """Probe whether the device's runtime implements complex dtypes (some
-    experimental TPU runtimes do not)."""
+    experimental TPU runtimes do not).  Transfers can succeed where compute
+    is Unimplemented, so the probe runs a jitted op and fetches the bytes."""
     try:
-        out = jax.device_put(np.zeros((1,), np.complex64), device)
-        np.asarray(out)  # force materialization
+        out = jax.device_put(np.zeros((2,), np.complex64), device)
+        np.asarray(jax.jit(lambda v: v * (1 + 1j) + v)(out))
         return True
     except Exception:
         return False

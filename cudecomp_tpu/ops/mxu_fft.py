@@ -370,6 +370,15 @@ def fft_split(x, axis: int, inverse: bool = False):
     return jnp.stack([r, i], axis=-1)
 
 
+def _use_half_spectrum() -> bool:
+    """Dense r2c/c2r via (N, N//2+1) matrices.  The half-width (e.g. 129)
+    output pads to lane-tile boundaries on the MXU, so the flop saving does
+    not always materialize — measured slightly SLOWER at 256^3 on v5e (443
+    vs 487 GFLOPS r2c).  Default off; CUDECOMP_TPU_FFT_HALF_SPECTRUM=1
+    enables (wins when N//2+1 is close to a 128 multiple)."""
+    return os.environ.get("CUDECOMP_TPU_FFT_HALF_SPECTRUM", "0") == "1"
+
+
 @lru_cache(maxsize=None)
 def _rdft_mats(n: int, dtype_name: str):
     """Dense real-to-half-spectrum DFT matrices (n, n//2 + 1)."""
@@ -409,7 +418,8 @@ def rfft_split(x, axis: int):
     """
     n = x.shape[axis]
     axis = axis % x.ndim
-    if n <= _direct_threshold() or _best_factorization(n)[1] == 1:
+    if _use_half_spectrum() and (n <= _direct_threshold()
+                                 or _best_factorization(n)[1] == 1):
         c, s = _rdft_mats(n, str(x.dtype))
         eq = _axis_eq(x.ndim, axis)
         prec = _PREC or _precision()
@@ -432,7 +442,8 @@ def irfft_split(x, axis: int, n: int):
     ndim = x.ndim - 1
     axis = axis % ndim
     r, i = x[..., 0], x[..., 1]
-    if n <= _direct_threshold() or _best_factorization(n)[1] == 1:
+    if _use_half_spectrum() and (n <= _direct_threshold()
+                                 or _best_factorization(n)[1] == 1):
         cr, ci = _irdft_mats(n, str(r.dtype))
         eq = _axis_eq(r.ndim, axis)
         prec = _PREC or _precision()

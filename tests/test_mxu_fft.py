@@ -40,8 +40,8 @@ def test_rfft_irfft_split_vs_numpy(n):
 
 
 def test_rfft_dense_path_large_n(monkeypatch):
-    # TPU production threshold (512) sends n=256 through the half-spectrum
-    # dense matrices; CPU default would use the generic path
+    # half-spectrum dense matrices (opt-in) at production threshold
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_HALF_SPECTRUM", "1")
     monkeypatch.setattr(M, "DIRECT_THRESHOLD", 512)
     for n in (64, 255, 256):
         x = RNG.standard_normal((3, n))

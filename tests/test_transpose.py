@@ -288,3 +288,15 @@ def test_ring_xor_schedule(pdims):
     # for the (3,1) non-power-of-two case
     roundtrip_check(make_grid_for((8, 9, 10), pdims),
                     method=cd.TransposeMethod.RING_XOR)
+
+
+def test_pipelined_gdims_dist():
+    # gdims_dist excess tacks onto the last pencil -> uneven scatter splits;
+    # RING_PIPELINED must fall back to the padded block ring and stay exact
+    grid = make_grid_for((12, 8, 8), (2, 2), gdims_dist=(8, 8, 8))
+    f = T.global_index_field((12, 8, 8))
+    x = cd.scatter_global(grid, f, 0)
+    y = cd.transpose_x_to_y(grid, x, method=TransposeMethod.RING_PIPELINED)
+    np.testing.assert_array_equal(cd.gather_global(grid, y, 1), f)
+    back = cd.transpose_y_to_x(grid, y, method=TransposeMethod.RING_PIPELINED)
+    np.testing.assert_array_equal(cd.gather_global(grid, back, 0), f)
