@@ -101,18 +101,6 @@ def load_tuned_config(path: str, base_config: GridConfig) -> GridConfig:
     return cfg
 
 
-def _complex_supported(device) -> bool:
-    """Probe whether the device's runtime implements complex dtypes (some
-    experimental TPU runtimes do not).  Transfers can succeed where compute
-    is Unimplemented, so the probe runs a jitted op and fetches the bytes."""
-    try:
-        out = jax.device_put(np.zeros((2,), np.complex64), device)
-        np.asarray(jax.jit(lambda v: v * (1 + 1j) + v)(out))
-        return True
-    except Exception:
-        return False
-
-
 def _valid_pdims(cfg: GridConfig, nranks: int,
                  options: AutotuneOptions) -> List[Tuple[int, int]]:
     from cudecomp_tpu.utils import env as env_util
@@ -249,11 +237,12 @@ def autotune(
         devices = jax.devices()
     nranks = len(devices)
     if dtype is None:
-        # trial dtype: complex64 like the reference's default, but some TPU
-        # runtimes lack complex support entirely — probe and fall back to
-        # float32 (relative ordering of candidates is dtype-independent)
-        dtype = (jnp.complex64 if _complex_supported(devices[0])
-                 else jnp.float32)
+        # trial dtype: float32 — candidate ordering is dtype-independent
+        # (everything scales with bytes moved), and some TPU runtimes lack
+        # complex support entirely; even *probing* complex compute can
+        # poison such runtimes for subsequent programs.  Pass dtype=
+        # explicitly to tune with the production dtype (reference behavior).
+        dtype = jnp.float32
 
     if config.autotune_pdims:
         pdims_cands = _valid_pdims(config, nranks, options)

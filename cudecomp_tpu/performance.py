@@ -79,21 +79,38 @@ class PerfRegistry:
     # -- reporting -------------------------------------------------------------
 
     def rows(self):
+        """Aggregated per-config stats.  On a multi-controller deployment
+        the wall-time stats are additionally reduced across processes
+        (min of mins / max of maxes / mean of avgs), like the reference's
+        cross-rank MPI reductions (performance.cc:391-450); keys are
+        assumed identical across processes (SPMD timing)."""
         out = []
+        multi = jax.process_count() > 1
         for key, s in sorted(self.samples.items(), key=lambda kv: str(kv[0])):
             if not s.times_ms:
                 continue
             t = np.array(s.times_ms)
+            avg, mn, mx, std = (float(t.mean()), float(t.min()),
+                                float(t.max()), float(t.std()))
+            if multi:
+                from jax.experimental import multihost_utils
+                g = np.asarray(multihost_utils.process_allgather(
+                    np.array([avg, mn, mx, std])))
+                g = g.reshape(-1, 4)
+                avg, mn, mx, std = (float(g[:, 0].mean()),
+                                    float(g[:, 1].min()),
+                                    float(g[:, 2].max()),
+                                    float(g[:, 3].mean()))
             row = {
                 "config": "/".join(str(k) for k in key),
                 "count": len(t),
-                "avg_ms": float(t.mean()),
-                "min_ms": float(t.min()),
-                "max_ms": float(t.max()),
-                "std_ms": float(t.std()),
+                "avg_ms": avg,
+                "min_ms": mn,
+                "max_ms": mx,
+                "std_ms": std,
             }
             if s.bytes_moved:
-                row["a2a_gbps"] = s.bytes_moved / (t.mean() / 1e3) / 1e9
+                row["a2a_gbps"] = s.bytes_moved / (avg / 1e3) / 1e9
             out.append(row)
         return out
 

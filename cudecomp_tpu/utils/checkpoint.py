@@ -92,7 +92,6 @@ class _ShardReader:
 
     def __init__(self, path: str, meta: dict):
         self.path = path
-        import dataclasses as _dc
         from cudecomp_tpu.config import GridConfig
         self.cfg = GridConfig(gdims=tuple(meta["gdims"]),
                               pdims=tuple(meta["pdims"]),

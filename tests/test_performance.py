@@ -67,3 +67,33 @@ def test_perf_registry_skips_traced_calls():
     finally:
         cd.perf_report_enable(False)
         REGISTRY.clear()
+
+
+def test_rows_cross_host_reduction(monkeypatch):
+    # mocked 2-process deployment: avg averaged, min of mins, max of maxes
+    import numpy as np
+    import jax
+    from cudecomp_tpu import performance as perf
+
+    reg = perf.PerfRegistry()
+    reg.enabled = True
+    monkeypatch.setattr(perf, "_N_WARMUP_DISCARD", 0)
+    reg.record(("op",), 2.0)
+    reg.record(("op",), 4.0)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    class FakeMH:
+        @staticmethod
+        def process_allgather(x):
+            a = np.asarray(x)
+            return np.stack([a, a + np.array([1.0, -0.5, 2.0, 0.0])])
+
+    monkeypatch.setattr(jax.experimental, "multihost_utils", FakeMH)
+    import sys
+    monkeypatch.setitem(sys.modules, "jax.experimental.multihost_utils",
+                        FakeMH)
+    (row,) = reg.rows()
+    assert row["avg_ms"] == 3.5       # mean(3, 4)
+    assert row["min_ms"] == 1.5       # min(2, 1.5)
+    assert row["max_ms"] == 6.0       # max(4, 6)
