@@ -76,21 +76,29 @@ def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
     user_policy = os.environ.get("CUDECOMP_TPU_FFT_PRECISION")
     policies = [user_policy] if user_policy else ["high", "highest"]
     err = None
-    for policy in policies:
-        os.environ["CUDECOMP_TPU_FFT_PRECISION"] = policy
-        err = float(make_run(1)(x))
-        if err < 5e-4:
-            break
-    assert err is not None and err < 5e-4, f"FFT round-trip max err {err}"
+    try:
+        for policy in policies:
+            os.environ["CUDECOMP_TPU_FFT_PRECISION"] = policy
+            err = float(make_run(1)(x))
+            if err < 5e-4:
+                break
+        assert err is not None and err < 5e-4, \
+            f"FFT round-trip max err {err}"
 
-    run = make_run(ITERS)
-    for _ in range(2):
-        float(run(x))
-    times = []
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        float(run(x))  # scalar fetch = completion barrier
-        times.append((time.perf_counter() - t0) / ITERS / 2.0)  # one direction
+        run = make_run(ITERS)
+        for _ in range(2):
+            float(run(x))
+        times = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            float(run(x))  # scalar fetch = completion barrier
+            times.append((time.perf_counter() - t0) / ITERS / 2.0)  # one dir
+    finally:
+        # don't leak the probed policy into the rest of the process
+        if user_policy is None:
+            os.environ.pop("CUDECOMP_TPU_FFT_PRECISION", None)
+        else:
+            os.environ["CUDECOMP_TPU_FFT_PRECISION"] = user_policy
 
     t = min(times)
     n_total = N ** 3

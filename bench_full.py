@@ -15,30 +15,17 @@ too.
 
 import json
 import math
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 
 def _time_scanned_local(fn, x, iters, n_trials):
-    @jax.jit
-    def run(v):
-        def body(c, _):
-            return fn(c), ()
-        out, _ = lax.scan(body, v, None, length=iters)
-        return jnp.sum(out[..., :1])
-
-    float(run(x))
-    float(run(x))
-    ts = []
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        float(run(x))
-        ts.append((time.perf_counter() - t0) / iters)
-    return min(ts)
+    """min over trials of the shared forced-completion scanned protocol."""
+    from cudecomp_tpu import performance as perf
+    return min(perf.time_scanned(fn, x, iters=iters, n_warmup=2,
+                                 n_trials=n_trials))
 
 
 def fft_r2c(N=256, ITERS=10, n_trials=3):

@@ -54,8 +54,10 @@ class PoissonSolver:
     lengths: Tuple[float, float, float] = (2 * np.pi, 2 * np.pi, 2 * np.pi)
     real: bool = True
     split_complex: bool = False
+    # init=False: dataclasses.replace() must NOT carry a populated cache
+    # into a solver with different parameters (stale inverse-k^2 field)
     _cache: dict = dataclasses.field(default_factory=dict, compare=False,
-                                     repr=False)
+                                     repr=False, init=False)
 
     @property
     def plan(self) -> DistributedFFT:

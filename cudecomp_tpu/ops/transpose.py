@@ -230,9 +230,10 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
     method_key = (method.value if isinstance(method, TransposeMethod)
                   else str(method))
     if method_key not in EXCHANGES and method_key != "ring_pipelined":
+        public = [k for k in EXCHANGES if not k.startswith("_")]
         raise ValueError(
             f"unknown transpose method {method_key!r}; available: "
-            f"{sorted(EXCHANGES) + ['ring_pipelined']}")
+            f"{sorted(public) + ['ring_pipelined']}")
 
     expected_in = geometry.global_buffer_shape(cfg, ax, in_halo, in_pad)
     if arr.ndim < 3 or tuple(arr.shape[:3]) != expected_in:

@@ -158,22 +158,11 @@ def exchange_ring_hier(blocks, axis_name: str, n: int, block: int,
     return out
 
 
-def exchange_local_only(blocks, axis_name: str, n: int, block: int):
-    """Identity "exchange" — no collective at all.  Produces WRONG transpose
-    results; exists solely so the perf subsystem can time the local
-    pack/permute/unpack phases in isolation and derive true all-to-all time
-    by subtraction (the reference times each a2a step with its own event
-    pair, performance.cc:391,450 — on TPU the collective is fused inside one
-    XLA program, so segmentation is done by differencing two programs)."""
-    return blocks
-
-
 EXCHANGES = {
     "all_to_all": exchange_all_to_all,
     "ring": exchange_ring,
     "ring_xor": exchange_ring_xor,
     "ring_hier": exchange_ring_hier,  # engine injects group= at build time
-    "_local_only": exchange_local_only,  # perf segmentation, not a public method
     # "ring_pipelined" is implemented inside the transpose engine (it
     # restructures the pack/permute phases, not just the exchange);
     # pallas_a2a is registered lazily by ops.pallas_kernels when available

@@ -49,14 +49,23 @@ def axis_group_size(mesh: Mesh, axis_name: str) -> int:
     """
     names = list(mesh.axis_names)
     dev = np.moveaxis(np.asarray(mesh.devices), names.index(axis_name), 0)
-    col = dev.reshape(dev.shape[0], -1)[:, 0]
-    slices = [_slice_index(d) for d in col]
-    P = len(slices)
-    K = next((i for i in range(1, P) if slices[i] != slices[0]), P)
-    if K == P or P % K:
-        return P
-    for g in range(P // K):
-        if len({slices[g * K + j] for j in range(K)}) != 1:
+    cols = dev.reshape(dev.shape[0], -1)
+    P = cols.shape[0]
+    K = P
+    # every position along the other axes must exhibit the same contiguous
+    # grouping, else the "intra-group" steps of a two-tier schedule would
+    # cross DCN for some rows — fall back to a flat ring (K = P)
+    for c in range(cols.shape[1]):
+        slices = [_slice_index(d) for d in cols[:, c]]
+        k = next((i for i in range(1, P) if slices[i] != slices[0]), P)
+        if k == P or P % k:
+            return P
+        for g in range(P // k):
+            if len({slices[g * k + j] for j in range(k)}) != 1:
+                return P
+        if c == 0:
+            K = k
+        elif k != K:
             return P
     return K
 

@@ -78,14 +78,16 @@ class PerfRegistry:
 
     # -- reporting -------------------------------------------------------------
 
-    def rows(self):
-        """Aggregated per-config stats.  On a multi-controller deployment
-        the wall-time stats are additionally reduced across processes
-        (min of mins / max of maxes / mean of avgs), like the reference's
-        cross-rank MPI reductions (performance.cc:391-450); keys are
-        assumed identical across processes (SPMD timing)."""
+    def rows(self, cross_host: bool = False):
+        """Aggregated per-config stats.  With ``cross_host=True`` on a
+        multi-controller deployment the wall-time stats are additionally
+        reduced across processes (min of mins / max of maxes / mean of
+        avgs), like the reference's cross-rank MPI reductions
+        (performance.cc:391-450).  The reduction is COLLECTIVE: every
+        process must call with identical sample keys, so it is opt-in —
+        the common 'print on process 0 only' pattern would deadlock."""
         out = []
-        multi = jax.process_count() > 1
+        multi = cross_host and jax.process_count() > 1
         for key, s in sorted(self.samples.items(), key=lambda kv: str(kv[0])):
             if not s.times_ms:
                 continue
@@ -114,18 +116,20 @@ class PerfRegistry:
             out.append(row)
         return out
 
-    def report(self, detail: int = None) -> str:
+    def report(self, detail: int = None, cross_host: bool = False) -> str:
         """Aggregated table; ``detail >= 1`` appends per-sample times per
         config (the reference's detail levels, performance.cc:480-700 —
         level 2's cross-rank gather is the registry itself on a
         multi-controller deployment, where each process holds its own).
-        Default from CUDECOMP_TPU_PERF_DETAIL."""
+        ``cross_host=True`` reduces stats across processes (collective:
+        every process must call it).  Default from CUDECOMP_TPU_PERF_DETAIL.
+        """
         if detail is None:
             detail = int(os.environ.get("CUDECOMP_TPU_PERF_DETAIL", "0"))
         lines = ["CUDECOMP_TPU: performance report",
                  f"{'config':60s} {'count':>6s} {'avg ms':>10s} {'min ms':>10s} "
                  f"{'max ms':>10s} {'std':>8s} {'A2A GB/s':>10s}"]
-        for r in self.rows():
+        for r in self.rows(cross_host=cross_host):
             bw = f"{r.get('a2a_gbps', 0):.1f}" if "a2a_gbps" in r else "-"
             lines.append(
                 f"{r['config']:60s} {r['count']:6d} {r['avg_ms']:10.4f} "
@@ -167,15 +171,15 @@ def perf_report_enable(enable: bool = True):
 
 
 def _force_bytes(out):
-    """Completion barrier for an already-dispatched op: block, then fetch one
-    element's concrete bytes (the fetch is what forces completion on runtimes
-    where block_until_ready returns early)."""
+    """Completion barrier for an already-dispatched op: block, then fetch
+    one element's concrete bytes from EVERY output leaf (the fetch is what
+    forces completion on runtimes where block_until_ready returns early;
+    multi-output ops need every buffer forced)."""
     jax.block_until_ready(out)
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "addressable_shards") and leaf.addressable_shards:
             shard = leaf.addressable_shards[0].data
             np.asarray(shard[(0,) * shard.ndim])
-            break
 
 
 def maybe_record(key_fn: Callable, run_fn: Callable, arr):
@@ -195,6 +199,54 @@ def maybe_record(key_fn: Callable, run_fn: Callable, arr):
     return out
 
 
+def _time_exchanges(grid, dtype, method_key: str, *, iters, n_warmup,
+                    n_trials) -> float:
+    """Sum of scanned exchange-only timings for the 4 transpose steps.
+
+    Each exchange runs on a synthetic block buffer of exactly the shapes
+    the engine exchanges (pad-to-max chunks), under ``shard_map`` over the
+    op's comm axis; the buffer is shape-preserving so the exchange chains
+    under ``lax.scan`` and nothing can fold (collectives are opaque to the
+    simplifier).  Slab steps (P == 1) cost zero."""
+    from cudecomp_tpu import geometry
+    from cudecomp_tpu.parallel.collectives import EXCHANGES, shard_map_fn
+    from jax.sharding import PartitionSpec
+
+    cfg = grid.config
+    m = "ring" if method_key == "ring_pipelined" else method_key
+    exch = EXCHANGES[m]
+    total = 0.0
+    for ax, dir_ in ((0, +1), (1, +1), (2, -1), (1, -1)):
+        comm_pd = 0 if min(ax, ax + dir_) == 0 else 1
+        P = cfg.pdims[comm_pd]
+        if P == 1:
+            continue
+        name = grid.axis_names[comm_pd]
+        ms_in = geometry.max_splits(cfg, ax)
+        scatter, gather = ax, ax + dir_
+        Bs = geometry.max_splits(cfg, ax + dir_)[scatter]
+        other = [ms_in[d] for d in range(3) if d != scatter]
+        kwargs = {}
+        if m == "pallas_a2a":
+            kwargs["mesh"] = grid.mesh
+        elif m == "ring_hier":
+            from cudecomp_tpu.parallel.mesh import axis_group_size
+            kwargs["group"] = axis_group_size(grid.mesh, name)
+
+        def body(b, P=P, Bs=Bs, name=name, kw=kwargs):
+            return exch(b, name, P, Bs, **kw)
+
+        fn = shard_map_fn(body, grid.mesh,
+                          in_specs=(PartitionSpec(name),),
+                          out_specs=PartitionSpec(name))
+        blocks = jax.device_put(
+            np.zeros((P * P * Bs, other[0], other[1]), dtype),
+            jax.sharding.NamedSharding(grid.mesh, PartitionSpec(name)))
+        total += float(np.min(time_scanned(
+            fn, blocks, iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
+    return total
+
+
 def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
                       n_warmup: int = 2, n_trials: int = 5,
                       record: bool = True) -> Dict[str, float]:
@@ -203,10 +255,13 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
     The reference wraps each all-to-all step in its own CUDA event pair and
     reports total / A2A / local ms plus achieved A2A bandwidth
     (``performance.cc:391,450``).  Inside one XLA program the collective
-    cannot be timed separately, so this times two compiled variants of the
-    full X2Y;Y2Z;Z2Y;Y2X round trip — the real one, and one with the
-    exchange replaced by an identity (``_local_only``) — and differences
-    them.  Returns total_ms / a2a_ms / local_ms / a2a_gbps (per chip).
+    cannot be timed separately, so the a2a phase is measured with scanned
+    exchange-only programs on synthetic block buffers of the exact
+    exchanged shapes (collectives cannot be folded by the simplifier) and
+    local time is derived by subtraction; on a single chip each op is
+    timed in its own scan (the chained cycle composes to the identity and
+    XLA deletes it).  Returns total_ms / a2a_ms / local_ms / a2a_gbps
+    (per chip).
     """
     from cudecomp_tpu import geometry
     from cudecomp_tpu.ops import transpose as tr
@@ -225,14 +280,14 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
 
     ops = [(tr.transpose_x_to_y, 0), (tr.transpose_y_to_z, 1),
            (tr.transpose_z_to_y, 2), (tr.transpose_y_to_x, 1)]
-    single_chip = cfg.pdims == (1, 1)
     shapes_match = (grid.global_shape(0) == grid.global_shape(1)
                     == grid.global_shape(2))
-    if single_chip and shapes_match:
+    if cfg.pdims == (1, 1) and shapes_match:
         # On one chip the chained round trip composes to the identity
-        # permutation and XLA folds it away entirely — time each op in its
-        # own scan instead (scan iterations cannot fuse with each other),
-        # the analog of the reference's per-op event pairs.
+        # permutation and XLA folds it away entirely (even through
+        # lax.optimization_barrier) — time each op in its own scan instead
+        # (scan iterations cannot fuse), the analog of the reference's
+        # per-op event pairs.  a2a is zero by definition.
         total = 0.0
         for op, in_ax in ops:
             xo = jax.device_put(np.zeros(grid.global_shape(in_ax), dtype),
@@ -243,16 +298,24 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
             total += float(np.min(time_scanned(
                 lambda a, op=op: op(grid, a, method=m) * 1.0000001, xo,
                 iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
-        local = total  # no collective exists on a single chip
+        local, a2a = total, 0.0
     else:
+        # Chained round trip = what a real pipeline sees (adjacent ops may
+        # legitimately fuse); the a2a phase is timed DIRECTLY with scanned
+        # exchange-only programs (shape-preserving, and collectives cannot
+        # be folded), local = total - a2a.  This is the honest inversion of
+        # the reference's per-step a2a event pairs (performance.cc:391,450).
         x = jax.device_put(np.zeros(grid.global_shape(0), dtype),
                            grid.sharding(0))
         total = float(np.min(time_scanned(
             rt(m), x, iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
-        local = float(np.min(time_scanned(
-            rt("_local_only"), x, iters=iters, n_warmup=n_warmup,
-            n_trials=n_trials)))
-    a2a = max(total - local, 0.0)
+        a2a = _time_exchanges(grid, dtype, m, iters=iters,
+                              n_warmup=n_warmup, n_trials=n_trials)
+        # at very small problem sizes per-program overhead can make the 4
+        # isolated exchange timings exceed the fused round trip; clamp (the
+        # segmentation is meaningful when op time >> dispatch overhead)
+        a2a = min(a2a, total)
+        local = max(total - a2a, 0.0)
 
     # per-chip bytes leaving the chip over the round trip (4 exchanges)
     pr, pc = cfg.pdims

@@ -134,3 +134,24 @@ def test_taylor_green_split_complex_matches_complex():
     _, hist_sc = TaylorGreenSolver(grid=grid, nu=nu,
                                    split_complex=True).run(n_steps, dt)
     np.testing.assert_allclose(hist_sc, hist_c, rtol=1e-10)
+
+
+def test_poisson_cache_not_shared_across_replace():
+    # dataclasses.replace must not carry a populated inv_k2 cache into a
+    # solver with different parameters (stale wavenumbers)
+    import dataclasses
+    import numpy as np
+    from cudecomp_tpu.models.poisson import PoissonSolver
+    import cudecomp_tpu as cd
+    import jax
+
+    grid = cd.make_grid(cd.GridConfig(gdims=(8, 8, 8), pdims=(2, 2)),
+                        devices=jax.devices()[:4])
+    s1 = PoissonSolver(grid=grid)
+    k1 = np.asarray(jax.device_get(s1._inv_k2()))
+    s2 = dataclasses.replace(s1, lengths=(4 * np.pi,) * 3)
+    assert s2._cache is not s1._cache
+    k2 = np.asarray(jax.device_get(s2._inv_k2()))
+    assert not np.allclose(k1, k2)
+    # cache hit on repeat
+    assert s2._inv_k2() is s2._cache["inv_k2"]

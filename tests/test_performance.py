@@ -93,7 +93,10 @@ def test_rows_cross_host_reduction(monkeypatch):
     import sys
     monkeypatch.setitem(sys.modules, "jax.experimental.multihost_utils",
                         FakeMH)
-    (row,) = reg.rows()
+    (row,) = reg.rows(cross_host=True)
+    # default (non-collective) path must NOT reduce
+    (local_row,) = reg.rows()
+    assert local_row["avg_ms"] == 3.0
     assert row["avg_ms"] == 3.5       # mean(3, 4)
     assert row["min_ms"] == 1.5       # min(2, 1.5)
     assert row["max_ms"] == 6.0       # max(4, 6)
