@@ -172,6 +172,35 @@ def _axis_eq(ndim: int, axis: int) -> str:
     return f"{dims},{c}{c.upper()}->{out}"
 
 
+def _radix_butterfly(vr, vi, b: int, axis: int, inverse: bool):
+    """Explicit B-point DFT (B in {2, 4}) over dim ``axis`` on the VPU.
+
+    The small-factor stage of a large-N split would otherwise be a K=B
+    matmul that uses B/128 of the MXU's contraction depth; the radix-2/4
+    DFT matrices contain only {0, +-1, +-i}, so the stage is pure adds and
+    component swaps — elementwise VPU work that XLA fuses."""
+    take = lambda t, j: lax.index_in_dim(t, j, axis, keepdims=False)
+    if b == 2:
+        r0, i0, r1, i1 = take(vr, 0), take(vi, 0), take(vr, 1), take(vi, 1)
+        yr = [r0 + r1, r0 - r1]
+        yi = [i0 + i1, i0 - i1]
+    else:  # b == 4
+        r = [take(vr, j) for j in range(4)]
+        i = [take(vi, j) for j in range(4)]
+        er, ei = r[0] + r[2], i[0] + i[2]        # even sum
+        fr, fi = r[1] + r[3], i[1] + i[3]        # odd sum
+        gr, gi = r[0] - r[2], i[0] - i[2]        # even diff
+        hr, hi = r[1] - r[3], i[1] - i[3]        # odd diff
+        # w = -i (forward) / +i (inverse); w * (hr + i hi)
+        if inverse:
+            wr, wi = -hi, hr
+        else:
+            wr, wi = hi, -hr
+        yr = [er + fr, gr + wr, er - fr, gr - wr]
+        yi = [ei + fi, gi + wi, ei - fi, gi - wi]
+    return (jnp.stack(yr, axis=axis), jnp.stack(yi, axis=axis))
+
+
 def _fft_core(xr, xi, inverse: bool, axis: int):
     """FFT along dim ``axis`` of (xr, xi), in place.  Unscaled transform."""
     n = xr.shape[axis]
@@ -184,6 +213,16 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
         eq = _axis_eq(xr.ndim, axis)
         return _cmatmul(xr, xi, jnp.asarray(c), jnp.asarray(s), eq)
 
+    # large-N default: peel a radix-4/2 factor on the VPU and keep the
+    # dense MXU stage at the largest K the threshold allows (a near-sqrt
+    # split would make BOTH stages small-K matmuls — measured far slower);
+    # explicit CUDECOMP_TPU_FFT_FACTORS overrides win
+    if n not in _factor_overrides():
+        for rb in (4, 2):
+            if n % rb == 0:
+                a, b = n // rb, rb
+                break
+
     shape = xr.shape
     split = shape[:axis] + (b, a) + shape[axis + 1:]
     # v[..., b_, a_, ...] = x[..., a_ + A*b_, ...]  (C-order split, free)
@@ -192,9 +231,12 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
     ndim = len(split)
 
     # step 1: B-point DFTs over b_ (at position `axis`), in place
-    cb, sb = _dft_mats(b, inverse, dt)
-    yr, yi = _cmatmul(vr, vi, jnp.asarray(cb), jnp.asarray(sb),
-                      _axis_eq(ndim, axis))
+    if b in (2, 4):
+        yr, yi = _radix_butterfly(vr, vi, b, axis, inverse)
+    else:
+        cb, sb = _dft_mats(b, inverse, dt)
+        yr, yi = _cmatmul(vr, vi, jnp.asarray(cb), jnp.asarray(sb),
+                          _axis_eq(ndim, axis))
     # step 2: twiddle W_N^{a_ k2}, shaped (k2, a_) at (axis, axis+1)
     tc, ts = _twiddle_bk(b, a, inverse, dt)
     bshape = (1,) * axis + (b, a) + (1,) * (ndim - axis - 2)

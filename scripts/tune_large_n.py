@@ -40,8 +40,10 @@ def main():
     from cudecomp_tpu.ops import mxu_fft as M
 
     for n, batch in ((1024, 64 * 256), (2048, 32 * 256)):
-        x = jnp.asarray(np.random.default_rng(0).standard_normal(
-            (batch, n, 2)).astype(np.float32))
+        # generate on device: large host->device transfers hit
+        # UNIMPLEMENTED on this tunnel runtime
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, n, 2),
+                              jnp.float32)
         nominal = 5.0 * batch * n * np.log2(n)
         for factors in (None, f"{n}=128x{n // 128}", f"{n}={n // 128}x128",
                         f"{n}=256x{n // 256}"):
@@ -51,10 +53,13 @@ def main():
                 os.environ.pop("CUDECOMP_TPU_FFT_FACTORS", None)
             try:
                 t = timeit(lambda v: M.fft_split(v, axis=1), x)
-                # correctness spot-check
-                got = np.asarray(M.from_split(jax.jit(
+                # correctness spot-check (combine to complex on HOST: the
+                # axon runtime has no complex dtypes)
+                gs = np.asarray(jax.device_get(jax.jit(
                     lambda v: M.fft_split(v, axis=1))(x[:4])))
-                want = np.fft.fft(np.asarray(M.from_split(x[:4])), axis=1)
+                hs = np.asarray(jax.device_get(x[:4]))
+                got = gs[..., 0] + 1j * gs[..., 1]
+                want = np.fft.fft(hs[..., 0] + 1j * hs[..., 1], axis=1)
                 err = np.max(np.abs(got - want)) / np.max(np.abs(want))
                 print(f"N={n} factors={factors or 'default':14s}: "
                       f"{t*1e3:7.3f} ms  {nominal/t/1e9:6.1f} GFLOPS  "
