@@ -213,15 +213,12 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
         eq = _axis_eq(xr.ndim, axis)
         return _cmatmul(xr, xi, jnp.asarray(c), jnp.asarray(s), eq)
 
-    # large-N default: peel a radix-4/2 factor on the VPU and keep the
-    # dense MXU stage at the largest K the threshold allows (a near-sqrt
-    # split would make BOTH stages small-K matmuls — measured far slower);
-    # explicit CUDECOMP_TPU_FFT_FACTORS overrides win
-    if n not in _factor_overrides():
-        for rb in (4, 2):
-            if n % rb == 0:
-                a, b = n // rb, rb
-                break
+    # Factor choice stays near-sqrt by default: on v5e the large-N op is
+    # pass-count-bound, and measured defaults (32x32 at 1024: 189 GFLOPS)
+    # match or beat radix-peeled splits (4x256 butterfly: 171-186; see
+    # BENCH_NOTES).  When an explicit CUDECOMP_TPU_FFT_FACTORS override
+    # selects a small factor, the radix-2/4 stage below runs as VPU
+    # butterflies instead of a K=2/4 matmul (256x4: 147 -> 185 GFLOPS).
 
     shape = xr.shape
     split = shape[:axis] + (b, a) + shape[axis + 1:]
