@@ -93,7 +93,9 @@ def main(N=256):
     ang = 2 * np.pi * np.outer(k, k) / N
     cr = jnp.asarray(np.cos(ang).astype(np.float32))
     ci = jnp.asarray(-np.sin(ang).astype(np.float32))
-    prec = lax.Precision.HIGH
+    import os
+    prec = (lax.Precision.HIGHEST if os.environ.get('FUSED_PREC', 'highest') == 'highest'
+            else lax.Precision.HIGH)
 
     # reference: two chained XLA einsums (current production path)
     def xla_two(ar, ai):
