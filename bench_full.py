@@ -58,9 +58,10 @@ def fft_r2c(N=256, ITERS=10, n_trials=3):
 
     t = _time_scanned_local(cycle, x, ITERS, n_trials) / 2.0
     n_total = N ** 3
-    # r2c convention: half the flops of c2c (benchmark.cu applies the same
-    # 5 N log2 N formula to the real transform size)
-    gflops = 2.5 * n_total * math.log2(n_total) / t / 1e9
+    # reference convention: the SAME 5 N^3 log2(N^3) formula as c2c, with
+    # N^3 the real grid size (benchmark.cu:658 uses fftsize = gx*gy*gz for
+    # both c2c and r2c)
+    gflops = 5.0 * n_total * math.log2(n_total) / t / 1e9
     return {"metric": f"{N}^3 r2c FFT single-direction (split-complex MXU, "
                       f"{n_dev} chip{'s' if n_dev > 1 else ''})",
             "value": round(gflops, 2), "unit": "GFLOPS", "err": err}
