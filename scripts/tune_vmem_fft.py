@@ -44,9 +44,8 @@ def timeit(fn, args, iters=32, trials=3):
 
 def _kernel(xr_ref, xi_ref, cbr_ref, cbi_ref, twr_ref, twi_ref,
             car_ref, cai_ref, or_ref, oi_ref, *, A, B, prec):
-    Bb = xr_ref.shape[0]
-    vr = xr_ref[...].reshape(Bb, B, A)
-    vi = xi_ref[...].reshape(Bb, B, A)
+    vr = xr_ref[...]
+    vi = xi_ref[...]
     dot = functools.partial(jnp.einsum, precision=prec,
                             preferred_element_type=jnp.float32)
 
@@ -65,8 +64,8 @@ def _kernel(xr_ref, xi_ref, cbr_ref, cbi_ref, twr_ref, twi_ref,
     zi = yr * twi + yi * twr
     # step 3: A-point DFTs over dim 2, k1 written to dim 1 -> out[b, k1, k2]
     outr, outi = cmul("bky,yY->bYk", zr, zi, car_ref[...], cai_ref[...])
-    or_ref[...] = outr.reshape(Bb, A * B)
-    oi_ref[...] = outi.reshape(Bb, A * B)
+    or_ref[...] = outr
+    oi_ref[...] = outi
 
 
 def vmem_fft(xr, xi, A, B, bb, prec):
@@ -82,15 +81,21 @@ def vmem_fft(xr, xi, A, B, bb, prec):
               for m in (cbr, cbi, twr, twi, car, cai)]
     shapes = [(B, B), (B, B), (B, A), (B, A), (A, A), (A, A)]
 
-    bspec = pl.BlockSpec((bb, n), lambda k: (k, 0))
-    return pl.pallas_call(
+    # 3D views outside the kernel: XLA reshapes are metadata-only, and the
+    # kernel then sees native (bb, B, A) blocks (no in-kernel relayout)
+    xr3 = xr.reshape(batch, B, A)
+    xi3 = xi.reshape(batch, B, A)
+    bspec = pl.BlockSpec((bb, B, A), lambda k: (k, 0, 0))
+    ospec = pl.BlockSpec((bb, A, B), lambda k: (k, 0, 0))
+    outr, outi = pl.pallas_call(
         functools.partial(_kernel, A=A, B=B, prec=prec),
         grid=(batch // bb,),
         in_specs=[bspec, bspec] + [pl.BlockSpec(s, lambda k: (0, 0))
                                    for s in shapes],
-        out_specs=[bspec, bspec],
-        out_shape=[jax.ShapeDtypeStruct(xr.shape, xr.dtype)] * 2,
-    )(xr, xi, *consts)
+        out_specs=[ospec, ospec],
+        out_shape=[jax.ShapeDtypeStruct((batch, A, B), xr.dtype)] * 2,
+    )(xr3, xi3, *consts)
+    return outr.reshape(batch, n), outi.reshape(batch, n)
 
 
 def main(N=1024):
@@ -107,10 +112,11 @@ def main(N=1024):
     want = np.asarray(jax.device_get(jax.jit(
         lambda v: M.fft_split(v, axis=1))(xs[:4])))
 
-    B = int(math.isqrt(N))
-    while N % B:
-        B -= 1
-    A = N // B
+    # lane-dim alignment: A = 128 keeps every in-kernel operand's minor
+    # dim at the MXU lane width (sqrt factors gave 32-lane tiles, which
+    # Mosaic's matmul path rejected with an internal error)
+    A = 128
+    B = N // A
     for prec in (lax.Precision.HIGHEST,):
         for bb in (128, 256, 512):
             if batch % bb:
