@@ -267,6 +267,14 @@ def autotune(
     else:
         methods = [config.transpose_method]
 
+    # layout axis: natural vs axis-contiguous pencils (the reference's
+    # benchmark sweeps transpose_axis_contiguous placements); explicit
+    # transpose_mem_order configs are left untouched
+    if options.autotune_layouts and config.transpose_mem_order is None:
+        layouts = [(False,) * 3, (True,) * 3]
+    else:
+        layouts = [config.transpose_axis_contiguous]
+
     weights = options.transpose_op_weights
     trials: List[TrialRecord] = []
     best = None  # (time, pdims, method, grid)
@@ -276,12 +284,16 @@ def autotune(
         mesh = build_mesh(pdims, devices=devices, rank_order=config.rank_order,
                           axis_names=axis_names)
         for method in methods:
+          for layout in layouts:
             cfg = dataclasses.replace(config.with_pdims(pdims),
-                                      transpose_method=method)
+                                      transpose_method=method,
+                                      transpose_axis_contiguous=layout)
             grid = GridDescriptor(config=cfg, mesh=mesh, axis_names=axis_names)
             threshold = None
             if options.skip_threshold > 0 and best is not None:
                 threshold = options.skip_threshold * best[0]
+            method_tag = (method.value if len(layouts) == 1 else
+                          f"{method.value}/ac={int(layout[0])}")
             try:
                 times, skipped = _time_roundtrip(
                     grid, dtype, weights, options.n_warmup, options.n_trials,
@@ -291,11 +303,11 @@ def autotune(
                 # like the reference's collective OOM fallback (autotune.cc:437-447)
                 if first_error is None:
                     first_error = e
-                trials.append(TrialRecord(pdims, method.value, (), float("inf"),
+                trials.append(TrialRecord(pdims, method_tag, (), float("inf"),
                                           float("inf"), skipped=True))
                 continue
             avg = float(np.mean(times))
-            rec = TrialRecord(pdims, method.value, tuple(times), avg,
+            rec = TrialRecord(pdims, method_tag, tuple(times), avg,
                               float(np.min(times)), skipped=skipped)
             trials.append(rec)
             if not skipped and (best is None or avg < best[0]):

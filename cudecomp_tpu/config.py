@@ -236,6 +236,10 @@ class AutotuneOptions:
     transpose_op_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     autotune_transpose_method: bool = True
     autotune_halo_method: bool = False
+    #: also sweep the pencil memory layout (natural vs axis-contiguous) —
+    #: the analog of benchmarking the reference's transpose_axis_contiguous
+    #: placements (benchmark CSVs sweep ac=000/111)
+    autotune_layouts: bool = False
     skip_threshold: float = 0.0
     methods: Optional[Tuple[TransposeMethod, ...]] = None
     halo_methods: Optional[Tuple[HaloMethod, ...]] = None

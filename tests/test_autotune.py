@@ -115,3 +115,16 @@ def test_autotune_error_surfaced(monkeypatch):
     with pytest.raises(RuntimeError, match="kaboom-inner"):
         autotune(cfg, devices=jax.devices()[:4],
                  options=AutotuneOptions(n_warmup=0, n_trials=1))
+
+
+def test_autotune_layout_axis():
+    # autotune_layouts sweeps natural vs axis-contiguous pencils and the
+    # winner's layout is frozen into the returned grid
+    cfg = GridConfig(gdims=(16, 16, 16))
+    opts = AutotuneOptions(n_warmup=0, n_trials=1, autotune_layouts=True,
+                           methods=(cd.TransposeMethod.ALL_TO_ALL,))
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts)
+    tags = {t.method for t in result.trials}
+    assert any("ac=0" in t for t in tags) and any("ac=1" in t for t in tags)
+    assert result.grid.config.transpose_axis_contiguous in (
+        (False,) * 3, (True,) * 3)
