@@ -120,3 +120,52 @@ def test_fft_jitted():
     out = roundtrip(buf)
     np.testing.assert_allclose(cd.gather_global(grid, out, 0), x,
                                rtol=0, atol=1e-10)
+
+
+def test_fft_adjoint_identity_split_complex():
+    # plan.forward is linear: <F x, y> must equal <x, F^T y> (vjp), through
+    # the full shard_map + collective pipeline — the differentiability
+    # contract spectral solvers rely on
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+    from cudecomp_tpu.ops.fft import DistributedFFT
+
+    grid = cd.make_grid(GridConfig(gdims=(8, 8, 8), pdims=(2, 4)),
+                        devices=jax.devices()[:8])
+    plan = DistributedFFT(grid=grid, split_complex=True)
+    rng = np.random.default_rng(5)
+    x = jax.device_put(rng.standard_normal((8, 8, 8, 2)).astype(np.float32),
+                       grid.sharding(0))
+    y_np = rng.standard_normal((8, 8, 8, 2)).astype(np.float32)
+
+    fx, vjp = jax.vjp(plan.forward, x)
+    y = jax.device_put(y_np, fx.sharding)
+    lhs = float(jnp.vdot(fx, y))
+    (xbar,) = vjp(y)
+    rhs = float(jnp.vdot(x, xbar))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-6) < 1e-4
+
+
+def test_grad_through_pipelined_transpose():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig, TransposeMethod
+
+    grid = cd.make_grid(GridConfig(gdims=(8, 8, 8), pdims=(2, 2)),
+                        devices=jax.devices()[:4])
+    x = jax.device_put(np.random.default_rng(6).standard_normal(
+        (8, 8, 8)).astype(np.float32), grid.sharding(0))
+
+    def loss(b):
+        y = cd.transpose_x_to_y(grid, b,
+                                method=TransposeMethod.RING_PIPELINED)
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(jax.device_get(g)),
+                               2 * np.asarray(jax.device_get(x)), rtol=1e-5)
