@@ -155,3 +155,44 @@ def test_poisson_cache_not_shared_across_replace():
     assert not np.allclose(k1, k2)
     # cache hit on repeat
     assert s2._inv_k2() is s2._cache["inv_k2"]
+
+
+def test_taylor_green_checkpoint_restart_cross_grid(tmp_path):
+    # production workflow: run, checkpoint shard-wise, restore onto a
+    # DIFFERENT process grid, continue — trajectories must agree with an
+    # uninterrupted run on the original grid
+    import jax
+    import numpy as np
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.models.taylor_green import TaylorGreenSolver
+    from cudecomp_tpu.utils import checkpoint as ckpt
+
+    n, dt = 16, 0.01
+
+    def make(pdims, ndev):
+        grid = cd.make_grid(cd.GridConfig(gdims=(n, n, n), pdims=pdims),
+                            devices=jax.devices()[:ndev])
+        s = TaylorGreenSolver(grid=grid, split_complex=False)
+        uh, f = s.setup()
+        return grid, s, uh, f
+
+    # uninterrupted 4 steps on (2, 2)
+    g1, s1, uh, f1 = make((2, 2), 4)
+    for _ in range(4):
+        uh = s1.step(uh, f1, dt)
+    want = float(s1.energy(uh, f1))
+
+    # 2 steps, checkpoint the spectral state, restore on (1, 8), 2 more
+    g1b, s1b, uh2, f1b = make((2, 2), 4)
+    for _ in range(2):
+        uh2 = s1b.step(uh2, f1b, dt)
+    cgrid = f1b["plan"].complex_grid
+    ckpt.save_pencil(str(tmp_path / "tg"), cgrid, uh2, 2)
+
+    g2, s2, _, f2 = make((1, 8), 8)
+    cgrid2 = f2["plan"].complex_grid
+    uh3 = ckpt.load_pencil(str(tmp_path / "tg"), cgrid2, axis=2)
+    for _ in range(2):
+        uh3 = s2.step(uh3, f2, dt)
+    got = float(s2.energy(uh3, f2))
+    assert abs(got - want) / want < 1e-10
