@@ -91,8 +91,9 @@ def transpose_headline(N=512, n_trials=3, iters=8):
             "local_ms": round(seg["local_ms"], 3),
             "a2a_gbps_per_chip": (round(seg["a2a_gbps"], 2)
                                   if seg["a2a_ms"] > 0 else None),
-            "local_gbps_per_chip": round(
-                2 * nbytes_moved / (seg["local_ms"] / 1e3) / 1e9, 2)}
+            "local_gbps_per_chip": (round(
+                2 * nbytes_moved / (seg["local_ms"] / 1e3) / 1e9, 2)
+                if seg["local_ms"] > 0 else None)}
 
 
 def main():

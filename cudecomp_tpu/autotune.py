@@ -63,6 +63,8 @@ class AutotuneResult:
         payload = {
             "best_pdims": list(self.best_pdims),
             "best_method": self.best_method.value,
+            "best_axis_contiguous": list(
+                self.grid.config.transpose_axis_contiguous),
             "best_halo_method": (self.best_halo_method.value
                                  if self.best_halo_method else None),
             "best_time_s": self.best_time_s,
@@ -81,9 +83,11 @@ class AutotuneResult:
         for t in self.halo_trials:
             status = "SKIPPED" if t.skipped else f"{t.avg_s:.6f} | {t.min_s:.6f}"
             lines.append(f"  halo  pdims={t.pdims} method={t.method:12s} {status}")
+        ac = self.grid.config.transpose_axis_contiguous
         lines.append(
             f"  -> selected pdims={self.best_pdims} "
-            f"method={self.best_method.value} ({self.best_time_s:.6f} s)")
+            f"method={self.best_method.value} ac={int(ac[0])} "
+            f"({self.best_time_s:.6f} s)")
         return "\n".join(lines)
 
 
@@ -95,6 +99,10 @@ def load_tuned_config(path: str, base_config: GridConfig) -> GridConfig:
     cfg = base_config.with_pdims(payload["best_pdims"])
     cfg = dataclasses.replace(
         cfg, transpose_method=TransposeMethod(payload["best_method"]))
+    if payload.get("best_axis_contiguous") is not None:
+        cfg = dataclasses.replace(
+            cfg, transpose_axis_contiguous=tuple(
+                payload["best_axis_contiguous"]))
     if payload.get("best_halo_method"):
         cfg = dataclasses.replace(
             cfg, halo_method=HaloMethod(payload["best_halo_method"]))

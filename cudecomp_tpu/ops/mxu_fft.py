@@ -369,6 +369,9 @@ def fft_split_axes(x, axes, inverse: bool = False):
     fuses the (1, 2) pair into the one-pass Pallas kernel when enabled.
     Inverse applies the combined 1/prod(N) scale once, in the last stage's
     epilogue."""
+    if x.shape[-1] != 2:
+        raise ValueError(f"split-complex input must have trailing dim 2, "
+                         f"got shape {tuple(x.shape)}")
     ndim = x.ndim - 1
     axes = [a % ndim for a in axes]
     if not axes:

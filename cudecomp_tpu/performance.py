@@ -89,20 +89,33 @@ class PerfRegistry:
         out = []
         multi = cross_host and jax.process_count() > 1
         for key, s in sorted(self.samples.items(), key=lambda kv: str(kv[0])):
-            if not s.times_ms:
+            if not s.times_ms and not multi:
                 continue
-            t = np.array(s.times_ms)
-            avg, mn, mx, std = (float(t.mean()), float(t.min()),
-                                float(t.max()), float(t.std()))
+            if s.times_ms:
+                t = np.array(s.times_ms)
+                avg, mn, mx, std = (float(t.mean()), float(t.min()),
+                                    float(t.max()), float(t.std()))
+            else:
+                # warmup-only on this process: still participate in the
+                # collective below (skipping would mismatch allgather
+                # counts across processes and deadlock); NaNs are ignored
+                # by the nan-aware reductions
+                t = np.array([])
+                avg = mn = mx = std = float("nan")
             if multi:
                 from jax.experimental import multihost_utils
                 g = np.asarray(multihost_utils.process_allgather(
                     np.array([avg, mn, mx, std])))
                 g = g.reshape(-1, 4)
-                avg, mn, mx, std = (float(g[:, 0].mean()),
-                                    float(g[:, 1].min()),
-                                    float(g[:, 2].max()),
-                                    float(g[:, 3].mean()))
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")  # all-NaN slices
+                    avg, mn, mx, std = (float(np.nanmean(g[:, 0])),
+                                        float(np.nanmin(g[:, 1])),
+                                        float(np.nanmax(g[:, 2])),
+                                        float(np.nanmean(g[:, 3])))
+                if np.isnan(avg):
+                    continue  # no process has post-warmup samples
             row = {
                 "config": "/".join(str(k) for k in key),
                 "count": len(t),
@@ -282,22 +295,40 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
            (tr.transpose_z_to_y, 2), (tr.transpose_y_to_x, 1)]
     shapes_match = (grid.global_shape(0) == grid.global_shape(1)
                     == grid.global_shape(2))
-    if cfg.pdims == (1, 1) and shapes_match:
+    if cfg.pdims == (1, 1):
         # On one chip the chained round trip composes to the identity
         # permutation and XLA folds it away entirely (even through
-        # lax.optimization_barrier) — time each op in its own scan instead
-        # (scan iterations cannot fuse), the analog of the reference's
-        # per-op event pairs.  a2a is zero by definition.
+        # lax.optimization_barrier) — time each op separately instead, the
+        # analog of the reference's per-op event pairs.  a2a is zero by
+        # definition.
         total = 0.0
-        for op, in_ax in ops:
-            xo = jax.device_put(np.zeros(grid.global_shape(in_ax), dtype),
-                                grid.sharding(in_ax))
-            # the *1.0000001 pins a real elementwise pass to the output so
-            # layout assignment cannot turn the permute into a bitcast on
-            # the scan carry (it fuses into the transpose's write)
-            total += float(np.min(time_scanned(
-                lambda a, op=op: op(grid, a, method=m) * 1.0000001, xo,
-                iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
+        if shapes_match:
+            # cubic: each op is shape-preserving, so scan it (iterations
+            # cannot fuse with each other); the *1.0000001 pins a real
+            # elementwise pass so layout assignment cannot turn the
+            # permute into a bitcast on the scan carry
+            for op, in_ax in ops:
+                xo = jax.device_put(np.zeros(grid.global_shape(in_ax),
+                                             dtype), grid.sharding(in_ax))
+                total += float(np.min(time_scanned(
+                    lambda a, op=op: op(grid, a, method=m) * 1.0000001, xo,
+                    iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
+        else:
+            # non-cubic: ops change buffer shape, so scanning is
+            # impossible; time one-shot dispatches and compensate with a
+            # measured tiny-program baseline (dispatch+fetch latency)
+            tiny = jax.device_put(np.zeros((8, 128), dtype),
+                                  grid.mesh.devices.flat[0])
+            base, _ = time_fn(lambda a: a * 1.0000001, tiny,
+                              n_warmup=n_warmup, n_trials=n_trials,
+                              reduce="min")
+            for op, in_ax in ops:
+                xo = jax.device_put(np.zeros(grid.global_shape(in_ax),
+                                             dtype), grid.sharding(in_ax))
+                t_op, _ = time_fn(lambda a, op=op: op(grid, a, method=m),
+                                  xo, n_warmup=n_warmup,
+                                  n_trials=n_trials, reduce="min")
+                total += max(t_op - base, 0.0)
         local, a2a = total, 0.0
     else:
         # Chained round trip = what a real pipeline sees (adjacent ops may
