@@ -155,7 +155,8 @@ def _allreduce_trials(times: List[float]) -> List[float]:
 def _time_roundtrip(grid: GridDescriptor, dtype, weights,
                     n_warmup: int, n_trials: int,
                     skip_after_first_above: Optional[float],
-                    iters: int = 2) -> Tuple[List[float], bool]:
+                    iters: int = 2,
+                    n_components: int = 0) -> Tuple[List[float], bool]:
     """Weighted 4-op round-trip timings (forced completion); returns
     (per-trial weighted seconds, skipped).
 
@@ -164,15 +165,25 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
     not a reliable barrier on this runtime (BENCH_NOTES.md).  With uniform
     weights one chained program is timed (the reference's ``at_results``
     round-trip semantics, autotune.cc:546-626); with non-uniform weights the
-    X<->Y and Y<->Z pairs are timed as separate chained programs and
-    combined with the pair-averaged weights.
+    X<->Y and Y<->Z pairs are timed as separate chained programs, per-program
+    times reduced (min over trials) BEFORE differencing so dispatch noise in
+    one program cannot zero out the Y<->Z term of a single trial.
+
+    When a skip threshold is given, ONE cheap probe (1 warmup + 1 trial)
+    runs first and a candidate whose probe already exceeds the threshold
+    never runs the full trial protocol — the real wall-time saving of the
+    reference's early-out (autotune.cc:578-602).
+
+    ``n_components`` appends that many trailing component dims of size 2
+    (e.g. 1 for split-complex) so trials move the production payload.
     """
     from cudecomp_tpu import performance as perf
     from cudecomp_tpu.ops import transpose as tr
 
     cfg = grid.config
-    x = jax.device_put(np.zeros(geometry.global_buffer_shape(cfg, 0),
-                                dtype=np.dtype(dtype)), grid.sharding(0))
+    shape = geometry.global_buffer_shape(cfg, 0) + (2,) * n_components
+    x = jax.device_put(np.zeros(shape, dtype=np.dtype(dtype)),
+                       grid.sharding(0))
     m = cfg.transpose_method
 
     def roundtrip(a):
@@ -182,6 +193,14 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
         return tr.transpose_y_to_x(grid, b, method=m)
 
     uniform = len(set(weights)) == 1
+    w_mean = float(np.mean(weights))
+
+    if skip_after_first_above is not None:
+        probe = _allreduce_trials(perf.time_scanned(
+            roundtrip, x, iters=iters, n_warmup=1, n_trials=1))
+        score = (weights[0] if uniform else w_mean) * probe[0]
+        if score > skip_after_first_above:
+            return [score], True
 
     def measure(fn, scale):
         ts = perf.time_scanned(fn, x, iters=iters, n_warmup=n_warmup,
@@ -193,8 +212,8 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
         times = measure(roundtrip, weights[0])
     else:
         # pair-granular weighting: t_xy_pair = t_X2Y + t_Y2X,
-        # t_yz_pair = t_roundtrip - t_xy_pair; score approximates
-        # sum(w_i * t_i) with the pair-averaged weights
+        # t_yz_pair = min(t_roundtrip) - min(t_xy_pair), derived once from
+        # the reduced times; per-trial variation comes from the xy program
         def xy_pair(a):
             return tr.transpose_y_to_x(grid, tr.transpose_x_to_y(
                 grid, a, method=m), method=m)
@@ -203,29 +222,23 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
         t_rt = measure(roundtrip, 1.0)
         w_xy = (weights[0] + weights[3]) / 2.0
         w_yz = (weights[1] + weights[2]) / 2.0
-        times = [w_xy * a + w_yz * max(b - a, 0.0)
-                 for a, b in zip(t_xy, t_rt)]
-    times = _allreduce_trials(times)
-    if (skip_after_first_above is not None
-            and times[0] > skip_after_first_above):
-        # skip-threshold early-out (autotune.cc:578-602); scan-based trials
-        # are all dispatched together, so the early-out saves reporting, not
-        # wall time — kept for protocol parity
-        return times[:1], True
-    return times, False
+        t_yz = max(min(t_rt) - min(t_xy), 0.0)
+        times = [w_xy * a + w_yz * t_yz for a in t_xy]
+    return _allreduce_trials(times), False
 
 
 def _time_halo(grid: GridDescriptor, dtype, options: AutotuneOptions,
-               n_warmup: int, n_trials: int, iters: int = 2) -> List[float]:
+               n_warmup: int, n_trials: int, iters: int = 2,
+               n_components: int = 0) -> List[float]:
     from cudecomp_tpu import performance as perf
     from cudecomp_tpu.ops.halo import update_halos
 
     cfg = grid.config
     axis = options.halo_axis
     he = options.halo_extents
-    x = jax.device_put(
-        np.zeros(geometry.global_buffer_shape(cfg, axis, he),
-                 dtype=np.dtype(dtype)), grid.sharding(axis))
+    shape = geometry.global_buffer_shape(cfg, axis, he) + (2,) * n_components
+    x = jax.device_put(np.zeros(shape, dtype=np.dtype(dtype)),
+                       grid.sharding(axis))
     fn = lambda a: update_halos(grid, a, axis, he, options.halo_periods)
     return _allreduce_trials(perf.time_scanned(
         fn, x, iters=iters, n_warmup=n_warmup, n_trials=n_trials))
@@ -245,12 +258,16 @@ def autotune(
         devices = jax.devices()
     nranks = len(devices)
     if dtype is None:
-        # trial dtype: float32 — candidate ordering is dtype-independent
-        # (everything scales with bytes moved), and some TPU runtimes lack
-        # complex support entirely; even *probing* complex compute can
-        # poison such runtimes for subsequent programs.  Pass dtype=
-        # explicitly to tune with the production dtype (reference behavior).
+        dtype = options.dtype
+    if dtype is None:
+        # trial dtype default: float32 (unconditional — no complex probe is
+        # attempted, because some TPU runtimes lack complex support entirely
+        # and even probing can poison them for subsequent programs).  Pass
+        # dtype=/AutotuneOptions.dtype to tune with the production dtype
+        # (reference behavior, autotune.cc:377-483), or use
+        # AutotuneOptions.n_components for split-complex payloads.
         dtype = jnp.float32
+    n_comp = options.n_components
 
     if config.autotune_pdims:
         pdims_cands = _valid_pdims(config, nranks, options)
@@ -269,6 +286,12 @@ def autotune(
         if n_slices(devices) > 1:
             # two-tier schedule only differs from RING across slices
             default_methods.append(TransposeMethod.RING_HIER)
+        from cudecomp_tpu.ops.pallas_kernels import pallas_a2a_available
+        if pallas_a2a_available():
+            # the RDMA backend is a default candidate wherever it can run,
+            # matching the reference enumerating every available backend
+            # (autotune.cc:192-273)
+            default_methods.append(TransposeMethod.PALLAS_A2A)
         methods = list(options.methods or env_util.filter_candidates(
             "CUDECOMP_TPU_AUTOTUNE_TRANSPOSE_METHODS",
             tuple(default_methods)))
@@ -305,7 +328,7 @@ def autotune(
             try:
                 times, skipped = _time_roundtrip(
                     grid, dtype, weights, options.n_warmup, options.n_trials,
-                    threshold)
+                    threshold, n_components=n_comp)
             except Exception as e:
                 # candidate failed to compile/run (OOM analog) — skip it,
                 # like the reference's collective OOM fallback (autotune.cc:437-447)
@@ -332,14 +355,29 @@ def autotune(
     halo_trials: List[TrialRecord] = []
     best_halo = None
     if options.autotune_halo_method and any(options.halo_extents):
-        halo_methods = list(options.halo_methods or (HaloMethod.PPERMUTE,))
+        if options.halo_methods:
+            halo_methods = list(options.halo_methods)
+        else:
+            halo_methods = [HaloMethod.PPERMUTE]
+            from cudecomp_tpu.ops.pallas_kernels import pallas_a2a_available
+            if pallas_a2a_available():
+                halo_methods.append(HaloMethod.PALLAS)
         hbest = None
         for hm in halo_methods:
             cfg = dataclasses.replace(best_grid.config, halo_method=hm)
             grid = GridDescriptor(config=cfg, mesh=best_grid.mesh,
                                   axis_names=axis_names)
-            times = _time_halo(grid, dtype, options, options.n_warmup,
-                               options.n_trials)
+            try:
+                times = _time_halo(grid, dtype, options, options.n_warmup,
+                                   options.n_trials, n_components=n_comp)
+            except Exception:
+                # one failing halo candidate must not abort the autotune
+                # after the transpose sweep succeeded (same candidate-skip
+                # as the transpose loop, autotune.cc:437-447 analog)
+                halo_trials.append(TrialRecord(best_pdims, hm.value, (),
+                                               float("inf"), float("inf"),
+                                               skipped=True))
+                continue
             avg = float(np.mean(times))
             halo_trials.append(TrialRecord(best_pdims, hm.value, tuple(times),
                                            avg, float(np.min(times))))

@@ -224,11 +224,19 @@ class AutotuneOptions:
       transpose_op_weights: weights for (XToY, YToZ, ZToY, YToX) when scoring.
       autotune_transpose_method / autotune_halo_method: sweep the collective
         strategy in addition to pdims.
-      skip_threshold: abandon a candidate early if its first trial exceeds
-        ``skip_threshold * best_time`` (reference ``src/autotune.cc:578-602``).
+      skip_threshold: abandon a candidate early if its cheap probe (one
+        warmup + one trial) exceeds ``skip_threshold * best_time`` — the
+        candidate never runs its full trial protocol (reference
+        ``src/autotune.cc:578-602``).
       methods: explicit candidate strategy list (None = all).
       pr_range / pc_range: inclusive clamps on process-grid factors, the
         analog of ``CUDECOMP_AUTOTUNE_P_{ROW,COL}_RANGE``.
+      dtype: trial buffer dtype (None = float32; pass the production dtype
+        to tune with production payloads, the reference behavior
+        ``autotune.cc:377-483``).
+      n_components: trailing component dims of size 2 appended to trial
+        buffers (1 = split-complex production payload: 2x the bytes per
+        exchange of a plain float32 trial).
     """
 
     n_warmup: int = 3
@@ -236,6 +244,8 @@ class AutotuneOptions:
     transpose_op_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     autotune_transpose_method: bool = True
     autotune_halo_method: bool = False
+    dtype: Optional[object] = None
+    n_components: int = 0
     #: also sweep the pencil memory layout (natural vs axis-contiguous) —
     #: the analog of benchmarking the reference's transpose_axis_contiguous
     #: placements (benchmark CSVs sweep ac=000/111)

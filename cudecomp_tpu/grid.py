@@ -49,6 +49,13 @@ class GridDescriptor:
         shape = self.mesh.shape
         for name, pd in zip(self.axis_names, cfg.pdims):
             if name not in shape:
+                if pd == 1:
+                    # a size-1 process-grid axis never shards or
+                    # communicates, so a slab decomposition may ride a 1D
+                    # mesh that simply omits it (e.g. Mesh(devs, ('pr',))
+                    # with pdims (P, 1)) — useful for Pallas kernels, whose
+                    # interpreter only discharges single-axis meshes
+                    continue
                 raise ValueError(f"mesh has no axis {name!r}; axes: {tuple(shape)}")
             if shape[name] != pd:
                 raise ValueError(
@@ -92,7 +99,10 @@ class GridDescriptor:
         names = []
         for i in range(3):
             pd = geometry.shard_pdim_of_dim(axis, order[i])
-            names.append(None if pd is None else self.axis_names[pd])
+            name = None if pd is None else self.axis_names[pd]
+            if name is not None and name not in self.mesh.shape:
+                name = None  # size-1 axis omitted from a 1D mesh
+            names.append(name)
         return P(*names)
 
     def sharding(self, axis: int) -> NamedSharding:

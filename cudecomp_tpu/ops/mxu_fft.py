@@ -59,14 +59,29 @@ def _direct_threshold() -> int:
     return 64 if jax.default_backend() in ("cpu",) else 512
 
 
-def _precision():
+def _auto_threshold() -> int:
+    """Axis-length threshold for the ``auto`` precision policy (measured on
+    v5e: HIGH passes the reference 5e-4 round-trip gate with margin through
+    N=512 — err 3.3e-4 @256, 3.7e-4 @512, see BENCH_NOTES.md)."""
+    return int(os.environ.get("CUDECOMP_TPU_FFT_AUTO_N", "512"))
+
+
+def _precision(n: int = None):
     """Matmul precision for the DFT contractions.
 
     float32 data: HIGHEST = full f32 (6-pass bf16 emulation), HIGH = 3-pass
     bf16x3 at ~2x the MXU throughput (error grows with the contraction K and
     the number of chained stages; see BENCH_NOTES.md for gate results).
     float64 (CPU testing) always uses HIGHEST.
-    Env: CUDECOMP_TPU_FFT_PRECISION=default|high|highest.
+
+    Env ``CUDECOMP_TPU_FFT_PRECISION``:
+      * ``default`` / ``high`` / ``highest`` — one global policy;
+      * ``auto`` — per-axis-length policy: HIGH for transform lengths
+        ``n <= CUDECOMP_TPU_FFT_AUTO_N`` (default 512, the largest N whose
+        bf16x3 round-trip error was measured inside the reference's 5e-4
+        single-precision gate), HIGHEST above — so large grids stay viable
+        without silently failing the gate;
+      * unset — HIGHEST (full-f32 parity with cuFFT accuracy).
     """
     env = os.environ.get("CUDECOMP_TPU_FFT_PRECISION", "").lower()
     if env == "default":
@@ -74,6 +89,10 @@ def _precision():
     if env == "high":
         return lax.Precision.HIGH
     if env == "highest":
+        return lax.Precision.HIGHEST
+    if env == "auto":
+        if n is not None and n <= _auto_threshold():
+            return lax.Precision.HIGH
         return lax.Precision.HIGHEST
     return lax.Precision.HIGHEST
 
@@ -146,12 +165,13 @@ def _use_gauss() -> bool:
     return os.environ.get("CUDECOMP_TPU_FFT_GAUSS", "1") == "1"
 
 
-def _cmatmul(xr, xi, mr, mi, eq):
+def _cmatmul(xr, xi, mr, mi, eq, n=None):
     """Complex contraction (x @ M) on split parts: 4 real matmuls, or 3 with
     the Gauss form:  k1=(xr+xi)C, k2=xr(S-C), k3=xi(C+S);
     y_r = k1 - k3, y_i = k1 + k2  (C=mr, S=mi; matrices are constants so the
-    combinations fold at compile time)."""
-    dot = partial(jnp.einsum, eq, precision=(_PREC or _precision()))
+    combinations fold at compile time).  ``n`` is the transform length this
+    contraction belongs to (drives the per-N ``auto`` precision policy)."""
+    dot = partial(jnp.einsum, eq, precision=(_PREC or _precision(n)))
     if _use_gauss():
         k1 = dot(xr + xi, mr)
         k2 = dot(xr, mi - mr)
@@ -205,13 +225,17 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
     """FFT along dim ``axis`` of (xr, xi), in place.  Unscaled transform."""
     n = xr.shape[axis]
     dt = str(xr.dtype)
+    if dt == "bfloat16":
+        # bf16 carry (storage-only): DFT/twiddle constants and accumulation
+        # stay f32 — einsum promotes bf16 x f32 to f32
+        dt = "float32"
     if n == 1:
         return xr, xi
     a, b = _best_factorization(n)
     if n <= _direct_threshold() or b == 1:  # small or prime: dense DFT
         c, s = _dft_mats(n, inverse, dt)
         eq = _axis_eq(xr.ndim, axis)
-        return _cmatmul(xr, xi, jnp.asarray(c), jnp.asarray(s), eq)
+        return _cmatmul(xr, xi, jnp.asarray(c), jnp.asarray(s), eq, n=n)
 
     # Factor choice stays near-sqrt by default: on v5e the large-N op is
     # pass-count-bound, and measured defaults (32x32 at 1024: 189 GFLOPS)
@@ -233,7 +257,7 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
     else:
         cb, sb = _dft_mats(b, inverse, dt)
         yr, yi = _cmatmul(vr, vi, jnp.asarray(cb), jnp.asarray(sb),
-                          _axis_eq(ndim, axis))
+                          _axis_eq(ndim, axis), n=n)
     # step 2: twiddle W_N^{a_ k2}, shaped (k2, a_) at (axis, axis+1)
     tc, ts = _twiddle_bk(b, a, inverse, dt)
     bshape = (1,) * axis + (b, a) + (1,) * (ndim - axis - 2)
@@ -257,7 +281,8 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
         k2c, ac = dims[axis], dims[axis + 1]
         out = dims[:axis] + ac.upper() + k2c + dims[axis + 2:]
         eq = f"{dims},{ac}{ac.upper()}->{out}"
-        outr, outi = _cmatmul(zr, zi, jnp.asarray(ca), jnp.asarray(sa), eq)
+        outr, outi = _cmatmul(zr, zi, jnp.asarray(ca), jnp.asarray(sa),
+                              eq, n=n)
     return outr.reshape(shape), outi.reshape(shape)
 
 
@@ -318,7 +343,7 @@ def dft2_fused(xr, xi, inverse: bool, bx: int = 8, interpret=None):
         scale = 1.0 / (n1 * n2)
         cz = cz * scale
         sz = sz * scale
-    prec = _PREC or _precision()
+    prec = _PREC or _precision(max(n1, n2))
     if prec == lax.Precision.HIGH:
         prec = lax.Precision.HIGHEST  # Mosaic dot lowering rejects HIGH
     gauss = _use_gauss()
@@ -383,10 +408,21 @@ def fft_split_axes(x, axes, inverse: bool = False):
         if out is not None:
             r, i = out
             axes = [a for a in axes if a not in (1, 2)]
-    for a in axes:
+    # opt-in experiment: store the inter-stage carry in bfloat16 (compute
+    # stays f32 via einsum promotion against f32 DFT matrices), halving the
+    # HBM traffic between axis contractions in the HBM-bound HIGH regime.
+    # Measured on v5e — see BENCH_NOTES.md "bf16 carry" for the verdict.
+    bf16_carry = os.environ.get("CUDECOMP_TPU_FFT_BF16_CARRY", "0") == "1"
+    out_dtype = r.dtype
+    for j, a in enumerate(axes):
         if inverse:
             scale *= 1.0 / x.shape[a]
         r, i = _fft_core(r, i, inverse, a)
+        if bf16_carry and j < len(axes) - 1:
+            r = r.astype(jnp.bfloat16)
+            i = i.astype(jnp.bfloat16)
+    r = r.astype(out_dtype)
+    i = i.astype(out_dtype)
     if inverse and scale != 1.0:
         r = r * scale
         i = i * scale
@@ -464,7 +500,7 @@ def rfft_split(x, axis: int):
                                  or _best_factorization(n)[1] == 1):
         c, s = _rdft_mats(n, str(x.dtype))
         eq = _axis_eq(x.ndim, axis)
-        prec = _PREC or _precision()
+        prec = _PREC or _precision(n)
         r = jnp.einsum(eq, x, jnp.asarray(c), precision=prec)
         i = jnp.einsum(eq, x, jnp.asarray(s), precision=prec)
         return jnp.stack([r, i], axis=-1)
@@ -488,7 +524,7 @@ def irfft_split(x, axis: int, n: int):
                                  or _best_factorization(n)[1] == 1):
         cr, ci = _irdft_mats(n, str(r.dtype))
         eq = _axis_eq(r.ndim, axis)
-        prec = _PREC or _precision()
+        prec = _PREC or _precision(n)
         return (jnp.einsum(eq, r, jnp.asarray(cr), precision=prec)
                 + jnp.einsum(eq, i, jnp.asarray(ci), precision=prec))
     # rebuild the full Hermitian spectrum: F[k] = conj(F[n-k]) for k > n//2

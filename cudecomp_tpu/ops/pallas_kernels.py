@@ -37,16 +37,35 @@ except ImportError:  # pragma: no cover
 
 def _peer_device_id(mesh_axes, axis_name, peer_coord):
     """Device-id kwargs addressing the peer that differs only along
-    ``axis_name``, always with MESH-type addressing (the type the Mosaic
-    lowering uses on hardware): a scalar coordinate on single-axis meshes
-    (which the TPU interpreter also discharges, so tests exercise the same
-    addressing type), a coords dict on multi-axis meshes (axes omitted from
-    the dict keep the sender's coordinate)."""
-    if len(mesh_axes) == 1:
-        return dict(device_id=peer_coord,
-                    device_id_type=pltpu.DeviceIdType.MESH)
-    return dict(device_id={axis_name: peer_coord},
-                device_id_type=pltpu.DeviceIdType.MESH)
+    ``axis_name``: ONE code path for every mesh rank — the flattened
+    logical device id is computed in-kernel by mixed-radix accumulation
+    over all mesh axes (row-major, matching ``mesh.devices.flat`` order),
+    with the comm axis contributing the peer coordinate and every other
+    axis the sender's own ``lax.axis_index``.
+
+    On a single-axis mesh this degenerates to ``idx == peer_coord``, so the
+    1D-mesh interpreter tests execute exactly the addressing arithmetic
+    that multi-axis hardware meshes use (the TPU interpreter only
+    discharges remote DMA on single-axis meshes; Mosaic translates LOGICAL
+    ids through the launch's device assignment on any mesh)."""
+    idx = None
+    for name, size in mesh_axes:
+        coord = peer_coord if name == axis_name else lax.axis_index(name)
+        idx = coord if idx is None else idx * size + coord
+    return dict(device_id=idx, device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+
+# collective_id bases per kernel family; each comm axis gets base + its
+# position in the mesh axis tuple, so a program doing pallas exchanges over
+# BOTH mesh axes (an FFT round trip) never shares one id across distinct
+# collectives (Mosaic requires distinct ids per concurrent collective).
+_A2A_CID_BASE = 7
+_HALO_CID_BASE = 11
+
+
+def _collective_id(base: int, axis_name: str, mesh_axes) -> int:
+    names = [n for n, _ in mesh_axes]
+    return base + (names.index(axis_name) if axis_name in names else 0)
 
 
 def _a2a_kernel(x_ref, out_ref, local_sem, send_sems, recv_sems,
@@ -90,10 +109,38 @@ def _a2a_kernel(x_ref, out_ref, local_sem, send_sems, recv_sems,
         ).wait_recv()
 
 
+@functools.lru_cache(maxsize=None)
+def _platform_supports_pallas(platform: str) -> bool:
+    """Known-good allowlist + probe-once for unknown platforms.
+
+    ``tpu`` is known good; ``cpu``/``gpu`` lack the TPU RDMA lowering.  Any
+    other platform (an experimental TPU plugin, e.g. tunneled runtimes) is
+    probed once with a tiny single-device Mosaic kernel and the result
+    cached — an unknown plugin without Pallas support falls back instead of
+    crashing mid-transpose."""
+    if platform == "tpu":
+        return True
+    if platform in ("cpu", "gpu", "cuda", "rocm"):
+        return False
+    try:
+        import numpy as np
+
+        def copy_kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...]
+
+        x = np.arange(8 * 128, dtype=np.float32).reshape(8, 128)
+        got = jax.jit(lambda v: pl.pallas_call(
+            copy_kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(v))(x)
+        return bool((np.asarray(jax.device_get(got)) == x).all())
+    except Exception:
+        return False
+
+
 def pallas_a2a_available() -> bool:
     if not _HAS_PALLAS:
         return False
-    return jax.default_backend() not in ("cpu", "gpu")
+    return _platform_supports_pallas(jax.default_backend())
 
 
 def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
@@ -117,9 +164,12 @@ def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
     else:
         mesh_axes = ((axis_name, n),)
     if interpret and len(mesh_axes) > 1:
-        # jax's TPU interpreter only discharges remote DMA on single-axis
-        # meshes; the kernel protocol is validated by the 1D-mesh tests and
-        # the real Mosaic lowering handles MESH coords on any mesh.
+        # jax's TPU interpreter refuses remote DMA on any multi-axis mesh
+        # (NotImplementedError in dma_start_p for every device-id type).
+        # The kernel protocol AND the shared mixed-radix logical addressing
+        # (_peer_device_id) are executed by the 1D-mesh tests — including
+        # engine-level transposes on a 1D slab mesh (test_pallas.py) — and
+        # the real Mosaic lowering resolves LOGICAL ids on any mesh.
         from cudecomp_tpu.utils.env import log_warn
         log_warn("pallas_a2a interpret mode supports single-axis meshes only;"
                  " falling back to lax.all_to_all")
@@ -137,7 +187,9 @@ def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
             pltpu.SemaphoreType.DMA((max(n - 1, 1),)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=7),
+            has_side_effects=True,
+            collective_id=_collective_id(_A2A_CID_BASE, axis_name,
+                                         mesh_axes)),
         interpret=interpret,
     )(blocks)
 
@@ -347,7 +399,9 @@ def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=8),
+            has_side_effects=True,
+            collective_id=_collective_id(_HALO_CID_BASE, axis_name,
+                                         mesh_axes)),
         interpret=interpret,
     )(local, jnp.asarray(splits, dtype=jnp.int32))
     if not periodic:

@@ -71,6 +71,15 @@ def save_pencil(path: str, grid, arr, axis: int, halo_extents=None,
         np.save(os.path.join(path, f"shard_{pr}_{pc}.npy"),
                 np.transpose(interior, axes=perm))
 
+    multi = jax.process_count() > 1
+    if multi:
+        # all shard files must exist on shared storage before meta.json is
+        # written: meta.json is the checkpoint's commit record (readers open
+        # it first), so ordering shards -> barrier -> meta -> barrier makes
+        # the checkpoint complete when save_pencil returns on ANY process
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("cudecomp_tpu_ckpt_shards")
+
     if jax.process_index() == 0:
         meta = {
             "gdims": list(cfg.gdims),
@@ -82,8 +91,14 @@ def save_pencil(path: str, grid, arr, axis: int, halo_extents=None,
             "padding": list(pad),
             "dtype": str(np.dtype(arr.dtype)),
         }
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        tmp = os.path.join(path, "meta.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=2)
+        os.replace(tmp, os.path.join(path, "meta.json"))
+
+    if multi:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("cudecomp_tpu_ckpt_meta")
 
 
 class _ShardReader:

@@ -128,3 +128,79 @@ def test_autotune_layout_axis():
     assert any("ac=0" in t for t in tags) and any("ac=1" in t for t in tags)
     assert result.grid.config.transpose_axis_contiguous in (
         (False,) * 3, (True,) * 3)
+
+
+def test_skip_threshold_probe_early_out(monkeypatch):
+    # a candidate whose cheap probe exceeds the threshold never runs the
+    # full trial protocol (real wall-time early-out, autotune.cc:578-602)
+    from cudecomp_tpu import performance as perf
+    from cudecomp_tpu.autotune import _time_roundtrip
+    calls = []
+    orig = perf.time_scanned
+
+    def counting(fn, x, **kw):
+        calls.append(dict(kw))
+        return orig(fn, x, **kw)
+
+    monkeypatch.setattr(perf, "time_scanned", counting)
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(4, 1))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:4])
+    times, skipped = _time_roundtrip(grid, jnp.float32, (1.0,) * 4,
+                                     n_warmup=2, n_trials=3,
+                                     skip_after_first_above=1e-12)
+    assert skipped and len(times) == 1
+    assert len(calls) == 1  # only the probe ran
+    assert calls[0]["n_trials"] == 1 and calls[0]["n_warmup"] == 1
+
+
+def test_halo_candidate_failure_skipped(monkeypatch):
+    # one failing halo method is recorded SKIPPED instead of aborting the
+    # autotune after the transpose sweep succeeded
+    from importlib import import_module
+    at = import_module("cudecomp_tpu.autotune")
+    orig = at._time_halo
+
+    def maybe_boom(grid, *a, **k):
+        if grid.config.halo_method == HaloMethod.PALLAS:
+            raise RuntimeError("halo kaboom")
+        return orig(grid, *a, **k)
+
+    monkeypatch.setattr(at, "_time_halo", maybe_boom)
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 2))
+    opts = AutotuneOptions(n_warmup=0, n_trials=1,
+                           autotune_halo_method=True, halo_extents=(1, 1, 1),
+                           halo_methods=(HaloMethod.PPERMUTE,
+                                         HaloMethod.PALLAS),
+                           methods=(TransposeMethod.ALL_TO_ALL,))
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts)
+    assert result.best_halo_method == HaloMethod.PPERMUTE
+    assert any(t.skipped for t in result.halo_trials)
+    assert any(not t.skipped for t in result.halo_trials)
+
+
+def test_autotune_production_payload_knobs():
+    # AutotuneOptions.dtype / n_components: trials run the production
+    # split-complex payload (reference tunes with the configured dtype,
+    # autotune.cc:377-483)
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 2))
+    opts = AutotuneOptions(n_warmup=0, n_trials=1, n_components=1,
+                           dtype="float32",
+                           methods=(TransposeMethod.ALL_TO_ALL,),
+                           autotune_halo_method=True, halo_extents=(1, 1, 1))
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts)
+    assert result.best_method == TransposeMethod.ALL_TO_ALL
+    assert result.halo_trials
+
+
+def test_nonuniform_weights_reduced_before_differencing():
+    # per-program reduction happens before the xy/yz differencing, so the
+    # yz term is a single non-negative constant across trials
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 2))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:4])
+    from cudecomp_tpu.autotune import _time_roundtrip
+    times, skipped = _time_roundtrip(grid, jnp.float32,
+                                     (2.0, 1.0, 1.0, 2.0),
+                                     n_warmup=1, n_trials=3,
+                                     skip_after_first_above=None)
+    assert not skipped and len(times) == 3
+    assert all(t > 0 for t in times)

@@ -169,3 +169,33 @@ def test_grad_through_pipelined_transpose():
     g = jax.grad(loss)(x)
     np.testing.assert_allclose(np.asarray(jax.device_get(g)),
                                2 * np.asarray(jax.device_get(x)), rtol=1e-5)
+
+
+def test_precision_auto_per_n_policy(monkeypatch):
+    # 'auto' selects HIGH for transform lengths <= the threshold, HIGHEST
+    # above (per-N policy so large grids stay inside the 5e-4 gate)
+    from jax import lax
+    from cudecomp_tpu.ops.mxu_fft import _precision
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_PRECISION", "auto")
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_AUTO_N", "512")
+    assert _precision(256) == lax.Precision.HIGH
+    assert _precision(512) == lax.Precision.HIGH
+    assert _precision(1024) == lax.Precision.HIGHEST
+    assert _precision(None) == lax.Precision.HIGHEST  # unknown length: safe
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_PRECISION", "highest")
+    assert _precision(256) == lax.Precision.HIGHEST
+
+
+def test_bf16_carry_roundtrip(monkeypatch):
+    # opt-in bf16 inter-stage storage: output dtype preserved, round trip
+    # within bf16 carry tolerance (~2^-8 relative)
+    from cudecomp_tpu.ops import mxu_fft
+    x = RNG.standard_normal((8, 8, 8, 2)).astype(np.float32)
+    ref = np.asarray(mxu_fft.fft_split_axes(jnp.asarray(x), [0, 1, 2]))
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_BF16_CARRY", "1")
+    got = mxu_fft.fft_split_axes(jnp.asarray(x), [0, 1, 2])
+    assert got.dtype == jnp.float32
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(np.asarray(got) - ref)) / scale < 3e-2
+    back = mxu_fft.fft_split_axes(got, [0, 1, 2], inverse=True)
+    assert np.max(np.abs(np.asarray(back) - x)) < 5e-2

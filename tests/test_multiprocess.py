@@ -1,0 +1,115 @@
+"""Real 2-process multi-controller smoke (VERDICT r2 item 9).
+
+Spawns two python subprocesses that form a jax.distributed CPU cluster
+(2 local devices each -> 4 global devices) and exercise the cross-host
+paths that are otherwise only mock-tested: ``autotune._allreduce_trials``,
+``performance.rows(cross_host=True)``, and ``save_pencil``/``load_pencil``
+with non-addressable shards (every process writes only its own shards; the
+barrier makes the checkpoint complete when save returns).
+
+Skipped when the runtime cannot form a multi-process CPU cluster.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r'''
+import os, sys
+port, pid, ckpt = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
+import cudecomp_tpu as cd
+from cudecomp_tpu.utils import checkpoint as ckpt_mod
+from cudecomp_tpu.autotune import _allreduce_trials
+from cudecomp_tpu.config import GridConfig
+
+# 1. cross-host trial reduction: per-process times differ, reduced scores
+#    must be identical on every host (deterministic winner selection)
+out = _allreduce_trials([1.0 + pid, 3.0 + pid])
+assert out == [1.5, 3.5], out
+
+# 2. checkpoint save/load with non-addressable shards: 4-device global mesh,
+#    each process addresses only its 2 local devices
+cfg = GridConfig(gdims=(8, 12, 16), pdims=(2, 2))
+grid = cd.make_grid(cfg)
+f = np.arange(8 * 12 * 16, dtype=np.float64).reshape(8, 12, 16)
+x = cd.scatter_global(grid, f, 0)
+n_local = len(x.addressable_shards)
+assert n_local == 2, n_local  # truly multi-controller: partial visibility
+ckpt_mod.save_pencil(ckpt, grid, x, 0)
+# save_pencil returned => checkpoint complete on shared storage (barrier)
+assert os.path.exists(os.path.join(ckpt, "meta.json"))
+y = ckpt_mod.load_pencil(ckpt, grid)
+# compare only addressable shards (no process can see the global array)
+for sx, sy in zip(x.addressable_shards, y.addressable_shards):
+    np.testing.assert_array_equal(np.asarray(sx.data), np.asarray(sy.data))
+
+# 3. cross-host perf reduction (collective: both processes call it)
+from cudecomp_tpu import performance as perf
+perf.REGISTRY.clear()
+perf.REGISTRY.enabled = True
+y2 = cd.transpose_x_to_y(grid, x)
+y2 = cd.transpose_x_to_y(grid, x)  # first sample is warmup-discarded
+rows = perf.REGISTRY.rows(cross_host=True)
+assert rows and all("avg_ms" in r for r in rows), rows
+perf.REGISTRY.enabled = False
+
+print("MULTIHOST_OK", flush=True)
+'''
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_cpu_cluster(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    ckpt = str(tmp_path / "ckpt")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(pid), ckpt],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("multi-process CPU cluster timed out (runtime without "
+                    "distributed CPU support)")
+    if any(p.returncode != 0 for p in procs):
+        joined = "\n".join(outs)
+        if "MULTIHOST_OK" not in joined and (
+                "distributed" in joined.lower()
+                or "initialize" in joined.lower()
+                or "grpc" in joined.lower()):
+            pytest.skip(f"distributed CPU cluster unavailable: "
+                        f"{joined[-500:]}")
+        raise AssertionError(f"worker failed:\n{joined[-4000:]}")
+    for out in outs:
+        assert "MULTIHOST_OK" in out, out[-4000:]
