@@ -67,7 +67,12 @@ def fft_r2c(N=256, ITERS=10, n_trials=3):
             "value": round(gflops, 2), "unit": "GFLOPS", "err": err}
 
 
-def transpose_headline(N=512, n_trials=3, iters=8):
+def transpose_headline(N=512, n_trials=3, iters=32):
+    # iters=32, not 8: at iters=8 the ~25 ms tunnel dispatch RTT adds
+    # ~3 ms/op of latency bias (the round-2 28.0 ms "gap" vs the permute
+    # ceiling was exactly this artifact — scripts/profile_transpose512.py
+    # measures 4.12 ms/op = 261 GB/s at iters=32, 99% of the measured
+    # XLA permute ceiling; see BENCH_NOTES.md r3)
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu import performance as perf

@@ -37,7 +37,7 @@ def parse_case_matrix(cfg):
         yield dict(zip(keys, combo))
 
 
-def run_case(case, n_warmup, n_trials, check):
+def run_case(case, n_warmup, n_trials, check, iters=8):
     import jax
     import jax.numpy as jnp
     import cudecomp_tpu as cd
@@ -63,7 +63,7 @@ def run_case(case, n_warmup, n_trials, check):
                axis_contiguous=bool(case["axis_contiguous"]),
                halo_extents="x".join(map(str, he)),
                padding="x".join(map(str, pad)), status="ok", error="",
-               roundtrip_ms="")
+               roundtrip_ms="", a2a_ms="", local_ms="", timing="")
 
     x_global = T.global_index_field(gdims, dtype=dtype)
     buf = cd.scatter_global(grid, x_global, 0, halo_extents=he, padding=pad)
@@ -76,22 +76,33 @@ def run_case(case, n_warmup, n_trials, check):
         return cd.transpose_y_to_x(grid, y2, output_halo_extents=he,
                                    output_padding=pad)
 
-    fn = jax.jit(roundtrip)
-    out = jax.block_until_ready(fn(buf))
+    out = jax.jit(roundtrip)(buf)
     if check:
         got = cd.gather_global(grid, out, 0, halo_extents=he, padding=pad)
         if not np.allclose(got, x_global):
             row["status"] = "FAIL"
             row["error"] = "roundtrip mismatch"
             return row
-    for _ in range(n_warmup):
-        jax.block_until_ready(fn(buf))
-    times = []
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(buf))
-        times.append(time.perf_counter() - t0)
-    row["roundtrip_ms"] = f"{1e3 * min(times):.4f}"
+
+    # forced-completion timing (block_until_ready is unreliable on tunneled
+    # runtimes, BENCH_NOTES.md): no-halo cases go through segment_roundtrip
+    # (per-op scans on one chip, where a chained round trip folds to the
+    # identity; chained scan + exchange-only segmentation on meshes); cases
+    # with halos/padding use the scanned chained round trip directly
+    from cudecomp_tpu import performance as perf
+    if he == (0, 0, 0) and pad == (0, 0, 0):
+        seg = perf.segment_roundtrip(
+            grid, dtype, iters=iters, n_warmup=n_warmup, n_trials=n_trials,
+            record=False)
+        row["roundtrip_ms"] = f"{seg['total_ms']:.4f}"
+        row["a2a_ms"] = f"{seg['a2a_ms']:.4f}"
+        row["local_ms"] = f"{seg['local_ms']:.4f}"
+        row["timing"] = "segment"
+    else:
+        ts = perf.time_scanned(roundtrip, buf, iters=iters,
+                               n_warmup=n_warmup, n_trials=n_trials)
+        row["roundtrip_ms"] = f"{1e3 * min(ts):.4f}"
+        row["timing"] = "scanned_chain"
     return row
 
 
@@ -117,11 +128,12 @@ def main():
     n_warmup = cfg.get("n_warmup", 2)
     n_trials = cfg.get("n_trials", 5)
     check = cfg.get("check_correctness", True)
+    iters = cfg.get("iters", 8)
 
     rows = []
     for case in parse_case_matrix(cfg):
         try:
-            row = run_case(case, n_warmup, n_trials, check)
+            row = run_case(case, n_warmup, n_trials, check, iters)
         except Exception as e:  # record and continue, like test_runner.py
             row = dict(gdims="x".join(map(str, case["gdims"])),
                        pdims=str(case["pdims"]), method=str(case["method"]),
@@ -129,7 +141,8 @@ def main():
                        axis_contiguous=bool(case["axis_contiguous"]),
                        halo_extents=str(case["halo_extents"]),
                        padding=str(case["padding"]),
-                       status="ERROR", error=str(e)[:200], roundtrip_ms="")
+                       status="ERROR", error=str(e)[:200], roundtrip_ms="",
+                       a2a_ms="", local_ms="", timing="")
         print(f"{row['gdims']:>12s} pdims={row['pdims']:8s} "
               f"{row['method']:12s} {row['dtype']:10s} -> {row['status']} "
               f"{row['roundtrip_ms']}", flush=True)
