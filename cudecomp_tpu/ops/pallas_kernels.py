@@ -270,6 +270,11 @@ def pallas_transpose2d(x, tm: int = 256, tn: int = 256, interpret=False):
     tn = min(tn, N)
     if M % tm or N % tn:
         return x.T  # ragged tail: let XLA handle it
+    if not interpret and ((tm % 128 and tm != M) or (tn % 128 and tn != N)):
+        # Mosaic requires the last two block dims divisible by (8, 128) or
+        # equal to the array dims; the tile appears transposed in the output
+        # spec, so both tile dims must satisfy the 128-lane rule
+        return x.T
     grid = (M // tm, N // tn)
     return pl.pallas_call(
         _transpose2d_kernel,
