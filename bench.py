@@ -106,14 +106,16 @@ def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
     per_chip = gflops / n_dev
     baseline_per_gpu = 16826.0 / 8.0
 
-    print(json.dumps({
+    payload = {
         "metric": f"{N}^3 c2c FFT single-direction (split-complex MXU, "
                   f"{policy} gate-checked err {err:.1e}, "
                   f"{n_dev} chip{'s' if n_dev > 1 else ''}, pdims {pdims})",
         "value": round(gflops, 2),
         "unit": "GFLOPS",
         "vs_baseline": round(per_chip / baseline_per_gpu, 4),
-    }))
+    }
+    print(json.dumps(payload))
+    return payload
 
 
 if __name__ == "__main__":

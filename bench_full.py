@@ -105,8 +105,9 @@ def main():
     import bench
     results = []
 
-    # c2c headline (prints its own line)
+    # c2c headlines (each prints its own line)
     bench.main()
+    results.append(bench.main(N=512, ITERS=8))
 
     r = fft_r2c()
     print(json.dumps(r))

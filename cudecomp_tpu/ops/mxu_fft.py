@@ -56,14 +56,19 @@ def _direct_threshold() -> int:
     env = os.environ.get("CUDECOMP_TPU_FFT_DIRECT_THRESHOLD")
     if env:
         return int(env)
-    return 64 if jax.default_backend() in ("cpu",) else 512
+    # TPU default 1024: the dense K=N contraction beats every four-step
+    # split wherever it compiles — measured at 768^3 on v5e: dense 292
+    # (HIGHEST) / 488 (HIGH) GFLOPS vs 247 for the near-sqrt 32x24 split
+    # and 285 for the best radix-peeled split (BENCH_NOTES.md r3)
+    return 64 if jax.default_backend() in ("cpu",) else 1024
 
 
 def _auto_threshold() -> int:
     """Axis-length threshold for the ``auto`` precision policy (measured on
-    v5e: HIGH passes the reference 5e-4 round-trip gate with margin through
-    N=512 — err 3.3e-4 @256, 3.7e-4 @512, see BENCH_NOTES.md)."""
-    return int(os.environ.get("CUDECOMP_TPU_FFT_AUTO_N", "512"))
+    v5e: HIGH passes the reference 5e-4 round-trip gate through the dense
+    K=768 contraction — err 3.3e-4 @256, 3.7e-4 @512, 4.0e-4 @768 dense;
+    see BENCH_NOTES.md r3)."""
+    return int(os.environ.get("CUDECOMP_TPU_FFT_AUTO_N", "768"))
 
 
 def _precision(n: int = None):
