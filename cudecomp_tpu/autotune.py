@@ -287,7 +287,7 @@ def autotune(
             # two-tier schedule only differs from RING across slices
             default_methods.append(TransposeMethod.RING_HIER)
         from cudecomp_tpu.ops.pallas_kernels import pallas_a2a_available
-        if pallas_a2a_available():
+        if pallas_a2a_available(devices[0].platform):
             # the RDMA backend is a default candidate wherever it can run,
             # matching the reference enumerating every available backend
             # (autotune.cc:192-273)
@@ -360,7 +360,7 @@ def autotune(
         else:
             halo_methods = [HaloMethod.PPERMUTE]
             from cudecomp_tpu.ops.pallas_kernels import pallas_a2a_available
-            if pallas_a2a_available():
+            if pallas_a2a_available(devices[0].platform):
                 halo_methods.append(HaloMethod.PALLAS)
         hbest = None
         for hm in halo_methods:

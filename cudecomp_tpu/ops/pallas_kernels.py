@@ -115,9 +115,9 @@ def _platform_supports_pallas(platform: str) -> bool:
 
     ``tpu`` is known good; ``cpu``/``gpu`` lack the TPU RDMA lowering.  Any
     other platform (an experimental TPU plugin, e.g. tunneled runtimes) is
-    probed once with a tiny single-device Mosaic kernel and the result
-    cached — an unknown plugin without Pallas support falls back instead of
-    crashing mid-transpose."""
+    probed once with a tiny single-device Mosaic kernel on a device OF THAT
+    PLATFORM and the result cached — an unknown plugin without Pallas
+    support falls back instead of crashing mid-transpose."""
     if platform == "tpu":
         return True
     if platform in ("cpu", "gpu", "cuda", "rocm"):
@@ -128,19 +128,27 @@ def _platform_supports_pallas(platform: str) -> bool:
         def copy_kernel(x_ref, o_ref):
             o_ref[...] = x_ref[...]
 
-        x = np.arange(8 * 128, dtype=np.float32).reshape(8, 128)
+        x_np = np.arange(8 * 128, dtype=np.float32).reshape(8, 128)
+        x = jax.device_put(x_np, jax.devices(platform)[0])
         got = jax.jit(lambda v: pl.pallas_call(
             copy_kernel,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype))(v))(x)
-        return bool((np.asarray(jax.device_get(got)) == x).all())
+        return bool((np.asarray(jax.device_get(got)) == x_np).all())
     except Exception:
         return False
 
 
-def pallas_a2a_available() -> bool:
+def pallas_a2a_available(platform: str = None) -> bool:
+    """Pallas RDMA support for ``platform`` (the platform of the mesh the
+    kernel will run on — NOT the process default backend: a CPU test mesh
+    inside a TPU-default process must fall back)."""
     if not _HAS_PALLAS:
         return False
-    return _platform_supports_pallas(jax.default_backend())
+    return _platform_supports_pallas(platform or jax.default_backend())
+
+
+def _mesh_platform(mesh):
+    return mesh.devices.flat[0].platform if mesh is not None else None
 
 
 def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
@@ -156,7 +164,7 @@ def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
     if interpret is None:
         import os
         interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
-    if not interpret and not pallas_a2a_available():
+    if not interpret and not pallas_a2a_available(_mesh_platform(mesh)):
         return _coll.exchange_all_to_all(blocks, axis_name, n, block)
 
     if mesh is not None:
@@ -374,7 +382,7 @@ def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
         mesh_axes = tuple((name, mesh.shape[name]) for name in mesh.axis_names)
     else:
         mesh_axes = ((axis_name, P),)
-    if (not interpret and not pallas_a2a_available()) or (
+    if (not interpret and not pallas_a2a_available(_mesh_platform(mesh))) or (
             interpret and len(mesh_axes) > 1):
         return None  # caller falls back
     import jax.numpy as jnp
