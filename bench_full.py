@@ -106,7 +106,7 @@ def main():
     results = []
 
     # c2c headlines (each prints its own line)
-    bench.main()
+    results.append(bench.main())
     results.append(bench.main(N=512, ITERS=8))
 
     r = fft_r2c()

@@ -169,10 +169,14 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
     times reduced (min over trials) BEFORE differencing so dispatch noise in
     one program cannot zero out the Y<->Z term of a single trial.
 
-    When a skip threshold is given, ONE cheap probe (1 warmup + 1 trial)
-    runs first and a candidate whose probe already exceeds the threshold
-    never runs the full trial protocol — the real wall-time saving of the
-    reference's early-out (autotune.cc:578-602).
+    When a skip threshold is given, ONE cheap probe (1 warmup + 1 trial on
+    the SAME compiled executable the full protocol reuses — no extra
+    compile) runs first; a candidate whose probe already exceeds the
+    threshold never runs its remaining trials — the wall-time saving of the
+    reference's first-trial early-out (autotune.cc:578-602), with the same
+    caveat: a skipped candidate can never become best, so a threshold
+    tight enough to clip timing noise can exclude the true winner (the
+    reference shares this failure mode; use skip_threshold >= ~2).
 
     ``n_components`` appends that many trailing component dims of size 2
     (e.g. 1 for split-complex) so trials move the production payload.
@@ -194,22 +198,21 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
 
     uniform = len(set(weights)) == 1
     w_mean = float(np.mean(weights))
+    rt_timer = perf.ScannedTimer(roundtrip, x, iters)
 
+    warm_done = 0
     if skip_after_first_above is not None:
-        probe = _allreduce_trials(perf.time_scanned(
-            roundtrip, x, iters=iters, n_warmup=1, n_trials=1))
+        probe = _allreduce_trials(rt_timer.time(n_warmup=1, n_trials=1))
         score = (weights[0] if uniform else w_mean) * probe[0]
         if score > skip_after_first_above:
             return [score], True
+        warm_done = 2  # the probe's warmup + timed run already warmed it
 
-    def measure(fn, scale):
-        ts = perf.time_scanned(fn, x, iters=iters, n_warmup=n_warmup,
-                               n_trials=n_trials)
-        return [t * scale for t in ts]
-
+    rt_warm = max(n_warmup - warm_done, 0)
     if uniform:
         # score = sum(w_i * t_i) = w * t_roundtrip
-        times = measure(roundtrip, weights[0])
+        ts = rt_timer.time(rt_warm, n_trials)
+        times = [t * weights[0] for t in ts]
     else:
         # pair-granular weighting: t_xy_pair = t_X2Y + t_Y2X,
         # t_yz_pair = min(t_roundtrip) - min(t_xy_pair), derived once from
@@ -218,8 +221,9 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
             return tr.transpose_y_to_x(grid, tr.transpose_x_to_y(
                 grid, a, method=m), method=m)
 
-        t_xy = measure(xy_pair, 1.0)
-        t_rt = measure(roundtrip, 1.0)
+        t_xy = perf.time_scanned(xy_pair, x, iters=iters, n_warmup=n_warmup,
+                                 n_trials=n_trials)
+        t_rt = rt_timer.time(rt_warm, n_trials)
         w_xy = (weights[0] + weights[3]) / 2.0
         w_yz = (weights[1] + weights[2]) / 2.0
         t_yz = max(min(t_rt) - min(t_xy), 0.0)

@@ -82,10 +82,11 @@ def _precision(n: int = None):
     Env ``CUDECOMP_TPU_FFT_PRECISION``:
       * ``default`` / ``high`` / ``highest`` — one global policy;
       * ``auto`` — per-axis-length policy: HIGH for transform lengths
-        ``n <= CUDECOMP_TPU_FFT_AUTO_N`` (default 512, the largest N whose
+        ``n <= CUDECOMP_TPU_FFT_AUTO_N`` (default 768, the largest N whose
         bf16x3 round-trip error was measured inside the reference's 5e-4
-        single-precision gate), HIGHEST above — so large grids stay viable
-        without silently failing the gate;
+        single-precision gate: 4.0e-4 for the dense K=768 contraction),
+        HIGHEST above — so large grids stay viable without silently
+        failing the gate;
       * unset — HIGHEST (full-f32 parity with cuFFT accuracy).
     """
     env = os.environ.get("CUDECOMP_TPU_FFT_PRECISION", "").lower()
@@ -413,10 +414,14 @@ def fft_split_axes(x, axes, inverse: bool = False):
         if out is not None:
             r, i = out
             axes = [a for a in axes if a not in (1, 2)]
-    # opt-in experiment: store the inter-stage carry in bfloat16 (compute
-    # stays f32 via einsum promotion against f32 DFT matrices), halving the
-    # HBM traffic between axis contractions in the HBM-bound HIGH regime.
-    # Measured on v5e — see BENCH_NOTES.md "bf16 carry" for the verdict.
+    # opt-in experiment: store the inter-stage carry in bfloat16, halving
+    # the HBM traffic between axis contractions in the HBM-bound HIGH
+    # regime.  The matmul contractions promote bf16 x f32 to f32, but
+    # elementwise work CONSUMING a bf16 carry (Gauss operand pre-sums,
+    # radix-2/4 butterflies in peeled factorizations) runs at bf16 —
+    # "storage-only" is exact for the dense path, approximate for peeled
+    # splits.  Measured on v5e (dense): +26% speed, err ~3e-2 — fails the
+    # reference 5e-4 gate; see BENCH_NOTES.md "bf16 carry".
     bf16_carry = os.environ.get("CUDECOMP_TPU_FFT_BF16_CARRY", "0") == "1"
     out_dtype = r.dtype
     for j, a in enumerate(axes):

@@ -418,6 +418,39 @@ def time_fn(fn, *args, n_warmup: int = 3, n_trials: int = 5,
     return float(red(times)), times
 
 
+class ScannedTimer:
+    """A prepared forced-completion scan program that can be timed in
+    multiple rounds WITHOUT re-tracing/re-compiling (one compile can cost
+    ~35 s over a remote-compile tunnel, so a probe + full-trials protocol
+    must share the executable)."""
+
+    def __init__(self, fn, x, iters: int):
+        self.x = x
+        self.iters = iters
+
+        @jax.jit
+        def run(v):
+            def body(c, _):
+                return fn(c), ()
+            out, _ = lax.scan(body, v, None, length=iters)
+            return completion_scalar(out)
+
+        self._run = run
+
+    def time(self, n_warmup: int, n_trials: int) -> List[float]:
+        """Per-iteration seconds for ``n_trials`` timed runs after
+        ``n_warmup`` untimed ones (warm-up persists across calls: the
+        program is compiled once per ScannedTimer)."""
+        for _ in range(n_warmup):
+            float(self._run(self.x))
+        times = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            float(self._run(self.x))
+            times.append((time.perf_counter() - t0) / self.iters)
+        return times
+
+
 def time_scanned(fn, x, *, iters: int = 2, n_warmup: int = 2,
                  n_trials: int = 5) -> List[float]:
     """Forced-completion timing of a shape-preserving op chain.
@@ -428,19 +461,4 @@ def time_scanned(fn, x, *, iters: int = 2, n_warmup: int = 2,
     each trial.  This is the timing protocol of ``bench.py`` shared with the
     autotuner (the TPU-honest analog of the reference's CUDA-event trials,
     autotune.cc:541-626)."""
-
-    @jax.jit
-    def run(v):
-        def body(c, _):
-            return fn(c), ()
-        out, _ = lax.scan(body, v, None, length=iters)
-        return completion_scalar(out)
-
-    for _ in range(n_warmup):
-        float(run(x))
-    times = []
-    for _ in range(n_trials):
-        t0 = time.perf_counter()
-        float(run(x))
-        times.append((time.perf_counter() - t0) / iters)
-    return times
+    return ScannedTimer(fn, x, iters).time(n_warmup, n_trials)

@@ -26,13 +26,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def run_case(N, policy, bf16=False, real=False, iters=None, n_trials=3):
+def run_case(N, policy, bf16=False, real=False, iters=None, n_trials=3,
+             direct_threshold=None):
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
 
     os.environ["CUDECOMP_TPU_FFT_PRECISION"] = policy
     os.environ["CUDECOMP_TPU_FFT_BF16_CARRY"] = "1" if bf16 else "0"
+    # pin the factorization path so case labels stay truthful regardless
+    # of the library default (raised to 1024 after this script's r3 run)
+    os.environ["CUDECOMP_TPU_FFT_DIRECT_THRESHOLD"] = str(
+        direct_threshold if direct_threshold is not None else 512)
     if iters is None:
         iters = 8 if N <= 512 else 4
 
@@ -82,9 +87,10 @@ def main():
         (768, "highest", {}),       # four-step territory (768 = 32 x 24)
         (768, "high", {}),
         (768, "high", {"bf16": True}),
-        (1024, "high", {}),         # four-step 32 x 32
+        (1024, "high", {}),         # four-step 32 x 32 (threshold 512)
         (1024, "highest", {}),
         (1024, "high", {"real": True}),
+        (1024, "high", {"direct_threshold": 1024}),  # dense K=1024
     ]
     for N, policy, kw in cases:
         try:
@@ -93,7 +99,8 @@ def main():
             print(f"{N}^3 {policy} {kw}: FAILED "
                   f"{type(e).__name__}: {str(e).splitlines()[0][:140]}",
                   flush=True)
-    for var in ("CUDECOMP_TPU_FFT_PRECISION", "CUDECOMP_TPU_FFT_BF16_CARRY"):
+    for var in ("CUDECOMP_TPU_FFT_PRECISION", "CUDECOMP_TPU_FFT_BF16_CARRY",
+                "CUDECOMP_TPU_FFT_DIRECT_THRESHOLD"):
         os.environ.pop(var, None)
 
 

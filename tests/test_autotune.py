@@ -132,25 +132,42 @@ def test_autotune_layout_axis():
 
 def test_skip_threshold_probe_early_out(monkeypatch):
     # a candidate whose cheap probe exceeds the threshold never runs the
-    # full trial protocol (real wall-time early-out, autotune.cc:578-602)
+    # full trial protocol (real wall-time early-out, autotune.cc:578-602);
+    # the probe runs on the SAME prepared executable (no second compile)
     from cudecomp_tpu import performance as perf
     from cudecomp_tpu.autotune import _time_roundtrip
     calls = []
-    orig = perf.time_scanned
+    timers = []
+    orig_time = perf.ScannedTimer.time
+    orig_init = perf.ScannedTimer.__init__
 
-    def counting(fn, x, **kw):
-        calls.append(dict(kw))
-        return orig(fn, x, **kw)
+    def counting_init(self, fn, x, iters):
+        timers.append(self)
+        orig_init(self, fn, x, iters)
 
-    monkeypatch.setattr(perf, "time_scanned", counting)
+    def counting_time(self, n_warmup, n_trials):
+        calls.append((n_warmup, n_trials))
+        return orig_time(self, n_warmup, n_trials)
+
+    monkeypatch.setattr(perf.ScannedTimer, "__init__", counting_init)
+    monkeypatch.setattr(perf.ScannedTimer, "time", counting_time)
     cfg = GridConfig(gdims=(16, 16, 16), pdims=(4, 1))
     grid = cd.make_grid(cfg, devices=jax.devices()[:4])
     times, skipped = _time_roundtrip(grid, jnp.float32, (1.0,) * 4,
                                      n_warmup=2, n_trials=3,
                                      skip_after_first_above=1e-12)
     assert skipped and len(times) == 1
-    assert len(calls) == 1  # only the probe ran
-    assert calls[0]["n_trials"] == 1 and calls[0]["n_warmup"] == 1
+    assert calls == [(1, 1)]   # only the probe ran
+    assert len(timers) == 1    # one program built (probe shares it)
+
+    # not skipped: the full trials REUSE the probe's timer (no recompile)
+    calls.clear()
+    timers.clear()
+    times, skipped = _time_roundtrip(grid, jnp.float32, (1.0,) * 4,
+                                     n_warmup=2, n_trials=3,
+                                     skip_after_first_above=1e12)
+    assert not skipped and len(times) == 3
+    assert calls == [(1, 1), (0, 3)] and len(timers) == 1
 
 
 def test_halo_candidate_failure_skipped(monkeypatch):
