@@ -29,6 +29,7 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=2, process_id=pid)
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 4, jax.devices()
+print("CLUSTER_UP", flush=True)
 
 sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
 import cudecomp_tpu as cd
@@ -98,10 +99,20 @@ def test_two_process_cpu_cluster(tmp_path):
             out, _ = p.communicate(timeout=240)
             outs.append(out.decode(errors="replace"))
     except subprocess.TimeoutExpired:
+        outs = []
         for p in procs:
             p.kill()
-        pytest.skip("multi-process CPU cluster timed out (runtime without "
-                    "distributed CPU support)")
+            out, _ = p.communicate()
+            outs.append(out.decode(errors="replace"))
+        if any("CLUSTER_UP" in o for o in outs):
+            # the cluster formed and then hung — a real regression (e.g. a
+            # missing save_pencil barrier deadlock), NOT an environment
+            # limitation: fail, don't skip
+            raise AssertionError(
+                "2-process cluster formed but hung mid-test:\n"
+                + "\n".join(o[-2000:] for o in outs))
+        pytest.skip("multi-process CPU cluster never formed (runtime "
+                    "without distributed CPU support)")
     if any(p.returncode != 0 for p in procs):
         joined = "\n".join(outs)
         if "MULTIHOST_OK" not in joined and (
