@@ -30,7 +30,22 @@ from cudecomp_tpu.utils.env import log_warn
 
 
 def _slice_index(d) -> int:
-    return getattr(d, "slice_index", 0) or 0
+    """Fast-interconnect group id of a device.
+
+    TPU: ``slice_index`` — devices in one slice share ICI, crossing slices
+    rides DCN.  CPU multi-process cluster (no slice attribute): the process
+    boundary is the slow tier (cross-process collectives ride gRPC), so
+    ``process_index`` plays the role the reference gives hostnames in
+    ``gatherGlobalMPIInfo`` (cudecomp.cc:508-595).  Single-process CPU and
+    unknown platforms collapse to one group.
+    """
+    if getattr(d, "platform", None) == "cpu":
+        # CPU devices report slice_index=0 even across processes (observed
+        # on multi-controller CPU clusters), so the process id is the only
+        # truthful group boundary there
+        return d.process_index
+    si = getattr(d, "slice_index", None)
+    return 0 if si is None else si
 
 
 def n_slices(devices: Optional[Sequence[jax.Device]] = None) -> int:

@@ -20,7 +20,7 @@ import pytest
 _WORKER = r'''
 import os, sys
 port, pid, ckpt = sys.argv[1], int(sys.argv[2]), sys.argv[3]
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
 import jax
@@ -28,7 +28,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=2, process_id=pid)
 assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 4, jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
 print("CLUSTER_UP", flush=True)
 
 sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
@@ -36,20 +36,35 @@ import cudecomp_tpu as cd
 from cudecomp_tpu.utils import checkpoint as ckpt_mod
 from cudecomp_tpu.autotune import _allreduce_trials
 from cudecomp_tpu.config import GridConfig
+from cudecomp_tpu.parallel.mesh import (axis_group_size, build_decomp_mesh,
+                                        n_slices)
 
 # 1. cross-host trial reduction: per-process times differ, reduced scores
 #    must be identical on every host (deterministic winner selection)
 out = _allreduce_trials([1.0 + pid, 3.0 + pid])
 assert out == [1.5, 3.5], out
 
-# 2. checkpoint save/load with non-addressable shards: 4-device global mesh,
-#    each process addresses only its 2 local devices
-cfg = GridConfig(gdims=(8, 12, 16), pdims=(2, 2))
-grid = cd.make_grid(cfg)
+# 2. topology discovery on a REAL two-tier cluster: the process boundary is
+#    the slow tier (the CPU analog of the reference's hostname grouping,
+#    cudecomp.cc:508-595).  build_decomp_mesh must place whole fast groups
+#    so the pr-axis (X<->Y) collectives never cross it.
+assert n_slices() == 2, n_slices()
+mesh = build_decomp_mesh((2, 4))
+grid_devs = np.asarray(mesh.devices)
+for j in range(4):
+    col = {d.process_index for d in grid_devs[:, j]}
+    assert len(col) == 1, (j, col)  # each pr column inside one process
+assert axis_group_size(mesh, "pc") == 2, axis_group_size(mesh, "pc")
+assert axis_group_size(mesh, "pr") == 2, axis_group_size(mesh, "pr")
+
+# 3. checkpoint save/load with non-addressable shards: 8-device global mesh,
+#    each process addresses only its 4 local devices
+cfg = GridConfig(gdims=(8, 12, 16), pdims=(2, 4))
+grid = cd.make_grid(cfg, mesh=mesh)
 f = np.arange(8 * 12 * 16, dtype=np.float64).reshape(8, 12, 16)
 x = cd.scatter_global(grid, f, 0)
 n_local = len(x.addressable_shards)
-assert n_local == 2, n_local  # truly multi-controller: partial visibility
+assert n_local == 4, n_local  # truly multi-controller: partial visibility
 ckpt_mod.save_pencil(ckpt, grid, x, 0)
 # save_pencil returned => checkpoint complete on shared storage (barrier)
 assert os.path.exists(os.path.join(ckpt, "meta.json"))
@@ -58,7 +73,17 @@ y = ckpt_mod.load_pencil(ckpt, grid)
 for sx, sy in zip(x.addressable_shards, y.addressable_shards):
     np.testing.assert_array_equal(np.asarray(sx.data), np.asarray(sy.data))
 
-# 3. cross-host perf reduction (collective: both processes call it)
+# 4. the two-tier hierarchical exchange over the real process boundary:
+#    Y<->Z communicates over pc (4 ranks spanning both processes, group=2),
+#    so ring_hier's inter-group ppermute steps actually cross the slow tier
+#    (the path that was previously exercised only with mocked slice ids)
+yp = cd.transpose_x_to_y(grid, x)                       # over pr (fast tier)
+zp = cd.transpose_y_to_z(grid, yp, method="ring_hier")  # over pc (two-tier)
+z_exp = cd.scatter_global(grid, f, 2)
+for sa, sb in zip(zp.addressable_shards, z_exp.addressable_shards):
+    np.testing.assert_array_equal(np.asarray(sa.data), np.asarray(sb.data))
+
+# 5. cross-host perf reduction (collective: both processes call it)
 from cudecomp_tpu import performance as perf
 perf.REGISTRY.clear()
 perf.REGISTRY.enabled = True
