@@ -7,8 +7,11 @@ remote-TPU tunnel, ITERS round trips run inside one jit via lax.scan.
 
 The FFT runs in split-complex form on the MXU matmul backend
 (cudecomp_tpu.ops.mxu_fft) — complex dtypes are unimplemented on this
-chip's runtime — with axis-contiguous pencil layouts, through the real
-transpose engine (local permutes on one chip; ICI all-to-alls on a mesh).
+chip's runtime — through the real transpose engine (local permutes on one
+chip; ICI all-to-alls on a mesh).  The round-trip cycle carries the
+(re, im) planes as a pytree (plan.forward_planes/inverse_planes): the
+TPU-native spectral format, matching the reference benchmarking cuFFT on
+its native interleaved-complex layout.
 
 vs_baseline = per-chip GFLOPS vs the reference's best single-precision
 number: 2048^3 C2C at 16826 GFLOPS on 8x A100 = ~2103 GFLOPS/GPU
@@ -27,7 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
+def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
@@ -49,22 +52,33 @@ def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
     grid = cd.make_grid(cfg, devices=devices)
     plan = DistributedFFT(grid=grid, split_complex=True)
 
-    def cycle(x, _):
-        return plan.inverse(plan.forward(x)), ()
+    # Plane-carried cycle: the (re, im) pair is the TPU-native spectral
+    # format (cuFFT's interleaved complex layout is native on the
+    # reference's GPUs); chaining through the interleaved (..., 2) form
+    # pays a re-interleave + layout copy per round trip (measured ~4-6%
+    # at 256-512^3; scripts/tune_plane_carry.py, BENCH_NOTES.md r3).
+    def cycle(planes, _):
+        return plan.inverse_planes(plan.forward_planes(planes)), ()
+
+    def err_of(a, b):
+        return jnp.maximum(jnp.max(jnp.abs(a[0] - b[0])),
+                           jnp.max(jnp.abs(a[1] - b[1])))
 
     def make_run(iters):
         @jax.jit
-        def run(x):
-            out, _ = lax.scan(cycle, x, None, length=iters)
+        def run(planes):
+            out, _ = lax.scan(cycle, planes, None, length=iters)
             # reduce to a scalar: fetching it forces full execution even on
             # runtimes where block_until_ready returns early (remote tunnels)
-            return jnp.max(jnp.abs(out - x))
+            return err_of(out, planes)
         return run
 
-    x = jax.device_put(
-        jax.random.normal(jax.random.PRNGKey(0),
-                          grid.global_shape(0) + (2,), dtype=jnp.float32),
-        grid.sharding(0))
+    shape = grid.global_shape(0)
+    x = tuple(
+        jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(k), shape, jnp.float32),
+            grid.sharding(0))
+        for k in (0, 1))
 
     # Policy selection with a correctness gate after ONE round trip
     # (reference tolerance 5e-4 single, benchmark.cu:23-27; the timing loop
@@ -108,6 +122,7 @@ def main(N: int = 256, ITERS: int = 20, n_trials: int = 3):
 
     payload = {
         "metric": f"{N}^3 c2c FFT single-direction (split-complex MXU, "
+                  f"plane-carried, "
                   f"{policy} gate-checked err {err:.1e}, "
                   f"{n_dev} chip{'s' if n_dev > 1 else ''}, pdims {pdims})",
         "value": round(gflops, 2),

@@ -46,8 +46,10 @@ def fft_r2c(N=256, ITERS=10, n_trials=3):
         jax.random.normal(jax.random.PRNGKey(1), grid.global_shape(0),
                           dtype=jnp.float32), grid.sharding(0))
 
+    # plane-carried r2c cycle: the carry is the real array itself; the
+    # spectral intermediate stays in plane form (no interleave pass)
     def cycle(v):
-        return plan.inverse(plan.forward(v))
+        return plan.inverse_planes(plan.forward_planes(v))
 
     # correctness gate: one round trip (reference 5e-4 single)
     @jax.jit
@@ -105,9 +107,10 @@ def main():
     import bench
     results = []
 
-    # c2c headlines (each prints its own line)
-    results.append(bench.main())
-    results.append(bench.main(N=512, ITERS=8))
+    # c2c headlines (each prints its own line); sizes ascend (hygiene rule,
+    # BENCH_NOTES.md) and ITERS=20 keeps the ~25 ms tunnel RTT bias < 2%
+    results.append(bench.main(N=256))
+    results.append(bench.main(N=512))
 
     r = fft_r2c()
     print(json.dumps(r))

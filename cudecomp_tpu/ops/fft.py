@@ -196,6 +196,78 @@ class DistributedFFT:
                     x = op(cgrid, x)
             return x
 
+    # -- plane form (split_complex only) --------------------------------------------
+    #
+    # The TPU-native spectral format is a PAIR of real planes (re, im): the
+    # MXU FFT contracts them directly, so chaining transforms through the
+    # interleaved (..., 2) form pays a re-interleave (a concatenate fusion +
+    # a layout copy, measured ~14% of a 256^3 c2c round trip on v5e;
+    # BENCH_NOTES.md r3).  Solvers and benchmarks that apply many transforms
+    # should carry (r, i) between calls; transposes run per plane, so the
+    # pair never materializes interleaved.
+
+    def _require_planes(self):
+        if not self.split_complex:
+            raise ValueError("plane-form FFT requires split_complex=True")
+
+    def forward_planes(self, x):
+        """Plane-form forward.  c2c: ``x = (r, i)`` planes; r2c
+        (``real=True``): ``x`` is the real X-pencil array.  Returns spectral
+        Z-pencil planes ``(r, i)``."""
+        self._require_planes()
+        from cudecomp_tpu.ops import mxu_fft
+        cgrid = self.complex_grid
+        with trace_range("cudecomp_tpu.fft3d_forward"):
+            first_fft = True
+            planes = x if not self.real else None
+            for kind, a, *rest in self._stages():
+                if kind == "fft":
+                    axes = _fft_axes(cgrid, a, rest[0])
+                    if self.real and first_fft:
+                        inv = self.grid.config.inv_mem_order(0)
+                        planes = mxu_fft.rfft_planes(x, axis=inv[0])
+                        other = [g for g in rest[0] if g != 0]
+                        if other:
+                            planes = mxu_fft.fft_planes(
+                                *planes, _fft_axes(cgrid, 0, other),
+                                inverse=False)
+                    else:
+                        planes = mxu_fft.fft_planes(*planes, axes,
+                                                    inverse=False)
+                    first_fft = False
+                else:
+                    op = tr.transpose_x_to_y if a == 0 else tr.transpose_y_to_z
+                    planes = tuple(op(cgrid, p) for p in planes)
+            return planes
+
+    def inverse_planes(self, planes):
+        """Plane-form inverse of :meth:`forward_planes`.  Takes spectral
+        Z-pencil planes ``(r, i)``; returns ``(r, i)`` planes (c2c) or the
+        real X-pencil array (``real=True``)."""
+        self._require_planes()
+        from cudecomp_tpu.ops import mxu_fft
+        cgrid = self.complex_grid
+        with trace_range("cudecomp_tpu.fft3d_inverse"):
+            rev = list(reversed(self._stages()))
+            last_fft_idx = max(i for i, s in enumerate(rev) if s[0] == "fft")
+            for i, (kind, a, *rest) in enumerate(rev):
+                if kind == "fft":
+                    if self.real and i == last_fft_idx:
+                        other = [g for g in rest[0] if g != 0]
+                        if other:
+                            planes = mxu_fft.fft_planes(
+                                *planes, _fft_axes(cgrid, 0, other),
+                                inverse=True)
+                        inv = self.grid.config.inv_mem_order(0)
+                        return mxu_fft.irfft_planes(
+                            *planes, axis=inv[0], n=self.grid.config.gdims[0])
+                    planes = mxu_fft.fft_planes(
+                        *planes, _fft_axes(cgrid, a, rest[0]), inverse=True)
+                else:
+                    op = tr.transpose_y_to_x if a == 0 else tr.transpose_z_to_y
+                    planes = tuple(op(cgrid, p) for p in planes)
+            return planes
+
 
 def _rfft_stage(plan, cgrid, x, global_axes):
     """First forward stage for R2C: rfft along X plus ffts over any other

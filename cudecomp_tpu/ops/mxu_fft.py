@@ -391,23 +391,25 @@ def dft2_fused(xr, xi, inverse: bool, bx: int = 8, interpret=None):
       jnp.asarray(cz), jnp.asarray(sz))
 
 
-def fft_split_axes(x, axes, inverse: bool = False):
-    """FFT of split-complex ``x`` (..., 2) along several data axes.
+def fft_planes(r, i, axes, inverse: bool = False):
+    """FFT along several data axes of separate (re, im) planes.
 
-    Carries the (re, im) planes separately across ALL stages (one slice at
-    entry, one stack at exit — per-axis ``fft_split`` would re-stack and
-    re-slice at every stage boundary, risking an extra HBM pass each), and
-    fuses the (1, 2) pair into the one-pass Pallas kernel when enabled.
+    The plane form is the TPU-native spectral format: the DFT contractions
+    read/write the planes directly, so code that chains transforms (solvers,
+    round-trip benchmarks) should carry ``(r, i)`` and call this — the
+    interleaved (..., 2) convenience form of :func:`fft_split_axes` costs a
+    re-interleave pass (measured on v5e: a concatenate fusion + a layout
+    copy, ~14% of a 256^3 c2c round trip; BENCH_NOTES.md r3).
+
+    Fuses the (1, 2) pair into the one-pass Pallas kernel when enabled.
     Inverse applies the combined 1/prod(N) scale once, in the last stage's
-    epilogue."""
-    if x.shape[-1] != 2:
-        raise ValueError(f"split-complex input must have trailing dim 2, "
-                         f"got shape {tuple(x.shape)}")
-    ndim = x.ndim - 1
+    epilogue.
+    """
+    ndim = r.ndim
     axes = [a % ndim for a in axes]
     if not axes:
-        return x
-    r, i = x[..., 0], x[..., 1]
+        return r, i
+    shape = r.shape
     scale = 1.0
     if ndim == 3 and {1, 2} <= set(axes):
         out = dft2_fused(r, i, inverse)
@@ -426,7 +428,7 @@ def fft_split_axes(x, axes, inverse: bool = False):
     out_dtype = r.dtype
     for j, a in enumerate(axes):
         if inverse:
-            scale *= 1.0 / x.shape[a]
+            scale *= 1.0 / shape[a]
         r, i = _fft_core(r, i, inverse, a)
         if bf16_carry and j < len(axes) - 1:
             r = r.astype(jnp.bfloat16)
@@ -436,6 +438,21 @@ def fft_split_axes(x, axes, inverse: bool = False):
     if inverse and scale != 1.0:
         r = r * scale
         i = i * scale
+    return r, i
+
+
+def fft_split_axes(x, axes, inverse: bool = False):
+    """FFT of split-complex ``x`` (..., 2) along several data axes.
+
+    Carries the (re, im) planes separately across ALL stages (one slice at
+    entry, one stack at exit — per-axis ``fft_split`` would re-stack and
+    re-slice at every stage boundary, risking an extra HBM pass each).
+    Chained-transform code should prefer :func:`fft_planes` and skip the
+    stack/slice boundary entirely."""
+    if x.shape[-1] != 2:
+        raise ValueError(f"split-complex input must have trailing dim 2, "
+                         f"got shape {tuple(x.shape)}")
+    r, i = fft_planes(x[..., 0], x[..., 1], axes, inverse=inverse)
     return jnp.stack([r, i], axis=-1)
 
 
@@ -497,8 +514,9 @@ def _irdft_mats(n: int, dtype_name: str):
     return cr.astype(dtype_name), ci.astype(dtype_name)
 
 
-def rfft_split(x, axis: int):
-    """Real-to-split-complex FFT along ``axis``: output extent N//2 + 1.
+def rfft_planes(x, axis: int):
+    """Real-to-plane-form FFT along ``axis``: returns (r, i) planes with
+    extent N//2 + 1 along ``axis``.
 
     For dense-DFT sizes the contraction uses (N, N//2+1) matrices directly
     — half the flops and output traffic of transforming the full spectrum
@@ -513,23 +531,30 @@ def rfft_split(x, axis: int):
         prec = _PREC or _precision(n)
         r = jnp.einsum(eq, x, jnp.asarray(c), precision=prec)
         i = jnp.einsum(eq, x, jnp.asarray(s), precision=prec)
-        return jnp.stack([r, i], axis=-1)
+        return r, i
     r, i = _fft_core(x, jnp.zeros_like(x), inverse=False, axis=axis)
     r = lax.slice_in_dim(r, 0, n // 2 + 1, axis=axis)
     i = lax.slice_in_dim(i, 0, n // 2 + 1, axis=axis)
-    return jnp.stack([r, i], axis=-1)
+    return r, i
 
 
-def irfft_split(x, axis: int, n: int):
-    """Split-complex-to-real inverse FFT along ``axis`` (output extent n).
+def rfft_split(x, axis: int):
+    """Real-to-split-complex FFT along ``axis``: output extent N//2 + 1.
+
+    Interleaved (..., 2) form of :func:`rfft_planes`.
+    """
+    return jnp.stack(rfft_planes(x, axis), axis=-1)
+
+
+def irfft_planes(r, i, axis: int, n: int):
+    """Plane-form-to-real inverse FFT along ``axis`` (output extent n).
 
     Dense sizes contract the half spectrum straight to the real signal with
     the Hermitian weights folded into (N//2+1, N) constants — no spectrum
     reconstruction pass, two real matmuls at half K.
     """
-    ndim = x.ndim - 1
+    ndim = r.ndim
     axis = axis % ndim
-    r, i = x[..., 0], x[..., 1]
     if _use_half_spectrum() and (n <= _direct_threshold()
                                  or _best_factorization(n)[1] == 1):
         cr, ci = _irdft_mats(n, str(r.dtype))
@@ -545,6 +570,14 @@ def irfft_split(x, axis: int, n: int):
     fi = jnp.concatenate([i, mi], axis=axis)
     outr, _ = _fft_core(fr, fi, inverse=True, axis=axis)
     return outr / n
+
+
+def irfft_split(x, axis: int, n: int):
+    """Split-complex-to-real inverse FFT along ``axis`` (output extent n).
+
+    Interleaved (..., 2) form of :func:`irfft_planes`.
+    """
+    return irfft_planes(x[..., 0], x[..., 1], axis % (x.ndim - 1), n)
 
 
 def to_split(xc):

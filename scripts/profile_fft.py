@@ -53,14 +53,22 @@ def main(N=256, ITERS=4):
     from collections import defaultdict
     with gzip.open(evs[0], "rt") as f:
         data = js.load(f)
-    tot = defaultdict(float)
+    # keep only TPU-device lanes (the host lanes record dispatch, not
+    # execution) and full op names — fusion.N instances are distinct ops
+    pids = {}
     for e in data.get("traceEvents", []):
-        if e.get("ph") == "X" and "dur" in e:
-            name = e.get("name", "?")
-            pid = e.get("pid", 0)
-            tot[(name.split(".")[0][:60])] += e["dur"]
-    for name, dur in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"{dur/1e3:10.3f} ms  {name}")
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pids.items() if "TPU" in n}
+    tot, cnt = defaultdict(float), defaultdict(int)
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "X" and "dur" in e and (
+                not dev_pids or e.get("pid") in dev_pids):
+            nm = e.get("name", "?")
+            tot[nm] += e["dur"]
+            cnt[nm] += 1
+    for name, dur in sorted(tot.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{dur/1e3:10.3f} ms  x{cnt[name]:4d}  {name[:100]}")
 
 
 if __name__ == "__main__":

@@ -199,3 +199,51 @@ def test_bf16_carry_roundtrip(monkeypatch):
     assert np.max(np.abs(np.asarray(got) - ref)) / scale < 3e-2
     back = mxu_fft.fft_split_axes(got, [0, 1, 2], inverse=True)
     assert np.max(np.abs(np.asarray(back) - x)) < 5e-2
+
+
+@pytest.mark.parametrize("pdims", [(1, 1), (2, 4)])
+def test_plane_form_matches_interleaved_c2c(pdims):
+    # forward_planes/inverse_planes must produce bit-identical math to the
+    # interleaved (..., 2) form — the plane form only removes the
+    # stack/slice boundary (BENCH_NOTES.md r3 "plane carry")
+    grid = make_grid_for((8, 12, 16), pdims)
+    plan = DistributedFFT(grid=grid, split_complex=True)
+    x = RNG.standard_normal((8, 12, 16, 2)).astype(np.float64)
+    buf = jax.device_put(x, grid.sharding(0))
+    ref_h = plan.forward(buf)
+    r, i = plan.forward_planes((buf[..., 0], buf[..., 1]))
+    np.testing.assert_allclose(np.asarray(jnp.stack([r, i], -1)),
+                               np.asarray(ref_h), rtol=0, atol=1e-12)
+    back_r, back_i = plan.inverse_planes((r, i))
+    ref_back = plan.inverse(ref_h)
+    np.testing.assert_allclose(np.asarray(back_r),
+                               np.asarray(ref_back[..., 0]),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(back_i),
+                               np.asarray(ref_back[..., 1]),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(back_r), x[..., 0],
+                               rtol=0, atol=1e-10)
+
+
+@pytest.mark.parametrize("pdims", [(1, 1), (2, 2)])
+def test_plane_form_r2c(pdims):
+    grid = make_grid_for((8, 12, 16), pdims)
+    plan = DistributedFFT(grid=grid, real=True, split_complex=True)
+    x = RNG.standard_normal((8, 12, 16)).astype(np.float64)
+    buf = cd.scatter_global(grid, x, 0)
+    r, i = plan.forward_planes(buf)
+    got = (np.asarray(cd.gather_global(plan.complex_grid, r, 2))
+           + 1j * np.asarray(cd.gather_global(plan.complex_grid, i, 2)))
+    ref = np.fft.fftn(np.fft.rfft(x, axis=0), axes=(1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-8)
+    back = plan.inverse_planes((r, i))
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, back, 0)),
+                               x, rtol=0, atol=1e-10)
+
+
+def test_plane_form_requires_split_complex():
+    grid = make_grid_for((8, 8, 8), (1, 1))
+    plan = DistributedFFT(grid=grid)
+    with pytest.raises(ValueError, match="split_complex"):
+        plan.forward_planes((jnp.zeros((8, 8, 8)),) * 2)
