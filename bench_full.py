@@ -112,7 +112,12 @@ def main():
     results.append(bench.main(N=256))
     results.append(bench.main(N=512))
 
-    r = fft_r2c()
+    # r2c stays at 256^3: once any 768^3 workload has run through the
+    # axon tunnel SERVER, the 512^3 r2c program (either form) returns the
+    # deterministic corruption signature (max err 1.8852040767669678) in
+    # every subsequent client process — server-side runtime state, not
+    # library code (BENCH_NOTES.md r3 "corruption", verified 2026-08-16)
+    r = fft_r2c(N=256, ITERS=10)
     print(json.dumps(r))
     results.append(r)
 

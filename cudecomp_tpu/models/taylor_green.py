@@ -56,29 +56,38 @@ def taylor_green_velocity(gdims):
 @dataclasses.dataclass(frozen=True)
 class TaylorGreenSolver:
     """Set ``split_complex=True`` to run the whole solver on the MXU matmul
-    FFT with split-complex spectral state (shape (..., 3, 2)) — no complex
-    dtype support needed (runs on any TPU runtime)."""
+    FFT with PLANE-FORM spectral state — a ``(re, im)`` tuple of real
+    ``(..., 3)`` arrays — so no complex dtype support is needed (runs on any
+    TPU runtime) and no interleave pass is paid anywhere in the RK4 loop
+    (the (..., 2)-interleaved carry costs a concatenate + layout copy per
+    transform chain; BENCH_NOTES.md r3 "plane carry")."""
 
     grid: GridDescriptor
     nu: float = 1.0 / 100.0  # 1/Re
     dealias: bool = True
     split_complex: bool = False
 
-    # -- split-complex helpers (last dim = [re, im]) -----------------------------
+    # -- state helpers -----------------------------------------------------------
+    # spectral state: complex array (..., 3), or ((..., 3), (..., 3)) planes
+
+    def _t(self, fn, *xs):
+        """Elementwise op over the state pytree (plain array or plane pair)."""
+        return jax.tree_util.tree_map(fn, *xs)
 
     def _mul_i(self, w):
-        """i * w for split-complex w."""
-        return jnp.stack([-w[..., 1], w[..., 0]], axis=-1)
+        """i * w on the spectral state."""
+        if self.split_complex:
+            return (-w[1], w[0])
+        return 1j * w
 
     def _kmul(self, k, u):
         """real wavenumber field k (...,) times component field u."""
-        if self.split_complex:
-            return k[..., None] * u
-        return k * u
+        return self._t(lambda a: k * a, u)
 
     def setup(self):
         """Returns (spectral state uh, static fields dict).  uh has shape
-        (..., 3) complex, or (..., 3, 2) split-complex."""
+        (..., 3) complex, or is a ((..., 3), (..., 3)) (re, im) plane pair
+        in split-complex mode."""
         plan = DistributedFFT(grid=self.grid, real=True,
                               split_complex=self.split_complex)
         cgrid = plan.complex_grid
@@ -88,7 +97,7 @@ class TaylorGreenSolver:
         if self.split_complex:
             u = u.astype(jnp.float32) if jax.default_backend() not in (
                 "cpu",) else u
-        uh = plan.forward(u)
+        uh = plan.forward_planes(u) if self.split_complex else plan.forward(u)
         kx, ky, kz = _spectral_axis_fields(cgrid, gd)
         k2 = kx * kx + ky * ky + kz * kz
         inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
@@ -105,76 +114,84 @@ class TaylorGreenSolver:
         return uh, fields
 
     # -- spectral operators ----------------------------------------------------
-    # components live at index -1 (complex) or -2 (split-complex)
+    # velocity components live at index -1 of each plane / complex array
 
     def _comp(self, uh, c):
-        return uh[..., c, :] if self.split_complex else uh[..., c]
+        return self._t(lambda a: a[..., c], uh)
 
     def _stack_comps(self, comps):
-        axis = -2 if self.split_complex else -1
-        return jnp.stack(comps, axis=axis)
+        if self.split_complex:
+            return tuple(jnp.stack([c[j] for c in comps], axis=-1)
+                         for j in (0, 1))
+        return jnp.stack(comps, axis=-1)
+
+    def _inverse(self, plan, xh):
+        return (plan.inverse_planes(xh) if self.split_complex
+                else plan.inverse(xh))
 
     def _curl_hat(self, uh, f):
         kx, ky, kz = f["kx"], f["ky"], f["kz"]
+        sub = lambda a, b: self._t(jnp.subtract, a, b)
         u0, u1, u2 = (self._comp(uh, c) for c in range(3))
-        wx = self._kmul(ky, u2) - self._kmul(kz, u1)
-        wy = self._kmul(kz, u0) - self._kmul(kx, u2)
-        wz = self._kmul(kx, u1) - self._kmul(ky, u0)
-        mul_i = self._mul_i if self.split_complex else (lambda v: 1j * v)
-        return self._stack_comps([mul_i(wx), mul_i(wy), mul_i(wz)])
+        wx = sub(self._kmul(ky, u2), self._kmul(kz, u1))
+        wy = sub(self._kmul(kz, u0), self._kmul(kx, u2))
+        wz = sub(self._kmul(kx, u1), self._kmul(ky, u0))
+        return self._stack_comps([self._mul_i(wx), self._mul_i(wy),
+                                  self._mul_i(wz)])
 
     def _project(self, nh, f):
         """Leray projection: nh - k (k . nh) / k^2."""
         kx, ky, kz = f["kx"], f["ky"], f["kz"]
+        add = lambda a, b: self._t(jnp.add, a, b)
+        sub = lambda a, b: self._t(jnp.subtract, a, b)
         n0, n1, n2 = (self._comp(nh, c) for c in range(3))
-        div = self._kmul(kx, n0) + self._kmul(ky, n1) + self._kmul(kz, n2)
+        div = add(add(self._kmul(kx, n0), self._kmul(ky, n1)),
+                  self._kmul(kz, n2))
         s = self._kmul(f["inv_k2"], div)
-        return self._stack_comps([n0 - self._kmul(kx, s),
-                                  n1 - self._kmul(ky, s),
-                                  n2 - self._kmul(kz, s)])
+        return self._stack_comps([sub(n0, self._kmul(kx, s)),
+                                  sub(n1, self._kmul(ky, s)),
+                                  sub(n2, self._kmul(kz, s))])
 
     def _rhs(self, uh, f):
         plan: DistributedFFT = f["plan"]
         with trace_range("cudecomp_tpu.tg_rhs"):
-            u = plan.inverse(uh)                      # physical velocity
+            u = self._inverse(plan, uh)               # physical velocity
             wh = self._curl_hat(uh, f)
-            w = plan.inverse(wh)                      # physical vorticity
+            w = self._inverse(plan, wh)               # physical vorticity
             nl = jnp.stack([
                 u[..., 1] * w[..., 2] - u[..., 2] * w[..., 1],
                 u[..., 2] * w[..., 0] - u[..., 0] * w[..., 2],
                 u[..., 0] * w[..., 1] - u[..., 1] * w[..., 0],
             ], axis=-1)                               # u x w
-            nh = plan.forward(nl)
+            nh = (plan.forward_planes(nl) if self.split_complex
+                  else plan.forward(nl))
             mask = f["mask"]
             visc = f["k2"]
-            if self.split_complex:
-                nh = nh * mask[..., None, None]
-                nh = self._project(nh, f)
-                return nh - self.nu * visc[..., None, None] * uh
-            nh = nh * mask[..., None]
+            nh = self._t(lambda a: a * mask[..., None], nh)
             nh = self._project(nh, f)
-            return nh - self.nu * visc[..., None] * uh
+            return self._t(lambda nn, uu: nn - self.nu * visc[..., None] * uu,
+                           nh, uh)
 
     def step(self, uh, f, dt):
         """One RK4 step in spectral space."""
+        t = self._t
         k1 = self._rhs(uh, f)
-        k2_ = self._rhs(uh + 0.5 * dt * k1, f)
-        k3 = self._rhs(uh + 0.5 * dt * k2_, f)
-        k4 = self._rhs(uh + dt * k3, f)
-        return uh + (dt / 6.0) * (k1 + 2 * k2_ + 2 * k3 + k4)
+        k2_ = self._rhs(t(lambda u, k: u + 0.5 * dt * k, uh, k1), f)
+        k3 = self._rhs(t(lambda u, k: u + 0.5 * dt * k, uh, k2_), f)
+        k4 = self._rhs(t(lambda u, k: u + dt * k, uh, k3), f)
+        return t(lambda u, a, b, c, d: u + (dt / 6.0) * (a + 2 * b + 2 * c + d),
+                 uh, k1, k2_, k3, k4)
 
     # -- diagnostics -------------------------------------------------------------
 
     def energy(self, uh, f):
         """Kinetic energy 0.5 <|u|^2> (padding is zero, so plain sums work)."""
-        plan: DistributedFFT = f["plan"]
-        u = plan.inverse(uh)
+        u = self._inverse(f["plan"], uh)
         n = float(np.prod(self.grid.config.gdims))
         return 0.5 * jnp.sum(u * u) / n
 
     def enstrophy(self, uh, f):
-        plan: DistributedFFT = f["plan"]
-        w = plan.inverse(self._curl_hat(uh, f))
+        w = self._inverse(f["plan"], self._curl_hat(uh, f))
         n = float(np.prod(self.grid.config.gdims))
         return 0.5 * jnp.sum(w * w) / n
 
