@@ -87,6 +87,11 @@ class PoissonSolver:
         plan = self.plan
         inv_k2 = self._inv_k2()
         with trace_range("cudecomp_tpu.poisson_solve"):
+            if self.split_complex and self.real:
+                # plane-carried: the spectral scale applies per plane, so
+                # the (re, im) pair never interleaves (BENCH_NOTES.md r3)
+                rh, ih = plan.forward_planes(f)
+                return plan.inverse_planes((rh * inv_k2, ih * inv_k2))
             fh = plan.forward(f)
             if self.split_complex:
                 uh = fh * inv_k2[..., None]
@@ -101,6 +106,9 @@ class PoissonSolver:
 
         @jax.jit
         def solve(f):
+            if self.split_complex and self.real:
+                rh, ih = plan.forward_planes(f)
+                return plan.inverse_planes((rh * inv_k2, ih * inv_k2))
             fh = plan.forward(f)
             uh = fh * (inv_k2[..., None] if self.split_complex else inv_k2)
             return plan.inverse(uh)

@@ -35,6 +35,25 @@ def test_poisson_analytic(pdims):
                                rtol=0, atol=1e-12)
 
 
+def test_poisson_split_complex_plane_path():
+    # split_complex + real takes the plane-carried spectral path; it must
+    # match the complex-mode solution and the analytic field
+    n = 16
+    grid = make_grid_for((n, n, n), (2, 2))
+    xs = [np.arange(n) * 2 * np.pi / n] * 3
+    x, y, z = np.meshgrid(*xs, indexing="ij")
+    u_exact = np.sin(x) * np.cos(2 * y) * np.sin(3 * z)
+    f = -14.0 * u_exact
+    fb = cd.scatter_global(grid, f, 0)
+    u_sc = PoissonSolver(grid=grid, split_complex=True).solve(fb)
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, u_sc, 0)),
+                               u_exact, rtol=0, atol=1e-10)
+    u_c = PoissonSolver(grid=grid).jitted()(fb)
+    u_sc_j = PoissonSolver(grid=grid, split_complex=True).jitted()(fb)
+    np.testing.assert_allclose(np.asarray(u_sc_j), np.asarray(u_c),
+                               rtol=0, atol=1e-10)
+
+
 def test_poisson_jitted_and_uneven():
     n = (12, 10, 14)
     grid = make_grid_for(n, (2, 2))
