@@ -294,25 +294,64 @@ def pallas_transpose2d(x, tm: int = 256, tn: int = 256, interpret=False):
     )(x)
 
 
-def pallas_cyclic_permute(x, perm, interpret=False):
+def _pick_tile(m: int, cap: int = 512) -> int:
+    """Largest Mosaic-legal tile for an extent: a multiple of 128 dividing
+    ``m`` (<= cap), or ``m`` itself when m <= cap (a block dim equal to the
+    array dim is always legal)."""
+    for t in range(cap, 127, -128):
+        if m % t == 0:
+            return t
+    return m if m <= cap else 0
+
+
+def pallas_cyclic_permute(x, perm, interpret=None, force=None):
     """Cyclic 3D permutation via the tiled 2D-transpose kernel.
 
     perm (1, 2, 0): out[a,b,c] = x[c,a,b]  -> view (I, J*K) -> transpose.
     perm (2, 0, 1): out[a,b,c] = x[b,c,a]  -> view (I*J, K) -> transpose.
     Other perms (or non-TPU platforms) fall back to jnp.transpose.
+
+    Why this exists (measured on v5e, device-trace timing, BENCH_NOTES.md
+    r3): XLA lowers a large cyclic permute as TWO full HBM copy passes
+    (512^3 f32: 3.22 ms = 333 GB/s effective), while this kernel's tiled
+    VMEM transpose makes ONE pass at the chip's streaming rate (1.63 ms =
+    658 GB/s).  It is the cuTENSOR-localPermute analog (transpose.h:80-157)
+    for the engine's single-chip/slab hot path.
+
+    ``force=True`` skips the process-backend check (caller validated the
+    MESH platform — the process default may differ, e.g. a CPU test mesh in
+    a TPU-default process); ``force=False`` always falls back to XLA.
+    Tile choice keeps the Mosaic grid small (the remote compiler hangs on
+    multi-thousand-block transpose grids at 512^3).
     """
     import jax.numpy as jnp
-    if x.ndim != 3 or (not interpret and jax.default_backend() in
-                       ("cpu", "gpu")):
+    if interpret is None:
+        import os
+        interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET",
+                                   "0") == "1"
+    if force is False or x.ndim != 3:
+        return jnp.transpose(x, perm)
+    if force is None and not interpret and jax.default_backend() in (
+            "cpu", "gpu"):
+        return jnp.transpose(x, perm)
+    if force and not interpret and jax.default_backend() in ("cpu", "gpu"):
+        # engine validated the MESH platform, but in interpret-off CPU
+        # processes the lowering would still be Mosaic-less — stay safe
         return jnp.transpose(x, perm)
     I, J, K = x.shape
     if tuple(perm) == (1, 2, 0):
-        out = pallas_transpose2d(x.reshape(I, J * K), interpret=interpret)
-        return out.reshape(J, K, I)
-    if tuple(perm) == (2, 0, 1):
-        out = pallas_transpose2d(x.reshape(I * J, K), interpret=interpret)
-        return out.reshape(K, I, J)
-    return jnp.transpose(x, perm)
+        M, N = I, J * K
+        reshape_out = (J, K, I)
+    elif tuple(perm) == (2, 0, 1):
+        M, N = I * J, K
+        reshape_out = (K, I, J)
+    else:
+        return jnp.transpose(x, perm)
+    tm, tn = _pick_tile(M), _pick_tile(N)
+    if not tm or not tn or (M // tm) * (N // tn) > 1024:
+        return jnp.transpose(x, perm)
+    out = pallas_transpose2d(x.reshape(M, N), tm, tn, interpret=interpret)
+    return out.reshape(reshape_out)
 
 
 # ---------------------------------------------------------------------------

@@ -63,9 +63,29 @@ def _add_halos_padding(local, order, halo, pad):
     return jnp.pad(local, widths + ((0, 0),) * (local.ndim - 3))
 
 
+def _local_permute_impl(grid) -> str:
+    """Implementation of the NET local permute on communication-free ops
+    ('pallas' one-pass tiled VMEM transpose, or 'xla').
+
+    Measured on v5e at 512^3 f32 (device-trace timing, BENCH_NOTES.md r3):
+    XLA lowers the cyclic permute as TWO full HBM copy passes (3.22 ms =
+    333 GB/s effective) while the Pallas kernel streams ONE pass at
+    1.63 ms = 658 GB/s — the cuTENSOR-localPermute role
+    (transpose.h:80-157).  ``CUDECOMP_TPU_LOCAL_PERMUTE`` in {auto, xla,
+    pallas}; auto selects Pallas on TPU meshes.
+    """
+    import os
+    val = os.environ.get("CUDECOMP_TPU_LOCAL_PERMUTE", "auto")
+    if val in ("xla", "pallas"):
+        return val
+    from cudecomp_tpu.ops.pallas_kernels import _mesh_platform
+    return "pallas" if _mesh_platform(grid.mesh) == "tpu" else "xla"
+
+
 @lru_cache(maxsize=512)
 def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
-                        in_pad, out_pad, method_key: str, n_comp_dims: int):
+                        in_pad, out_pad, method_key: str, n_comp_dims: int,
+                        permute_impl: str = "xla"):
     """Build (and cache) the jitted shard_map program for one transpose
     configuration.
 
@@ -164,43 +184,56 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
             out_t = pipelined_fn(t)
             return _add_halos_padding(out_t, out_order, out_halo, out_pad)
 
+        if P == 1:
+            # slab degeneration: no collective, and the two layout
+            # transposes (to global order, then to output order) compose
+            # into ONE net permutation — dispatched to the one-pass Pallas
+            # kernel on TPU meshes (see _local_permute_impl)
+            net = tuple(in_inv[o] for o in out_order) + comp_axes
+            if net == tuple(range(t.ndim)):
+                out_t = t
+            elif permute_impl == "pallas" and t.ndim == 3:
+                from cudecomp_tpu.ops.pallas_kernels import (
+                    pallas_cyclic_permute)
+                out_t = pallas_cyclic_permute(t, net, force=True)
+            else:
+                out_t = jnp.transpose(t, axes=net)
+            return _add_halos_padding(out_t, out_order, out_halo, out_pad)
+
         # to global-axis order (dims = X, Y, Z extents of this pencil)
         t = jnp.transpose(t, axes=in_inv + comp_axes)
 
-        if P == 1:
-            out_t = t  # slab degeneration: pure local reorder, no collective
+        # ---- pack: chunk the scatter dim into per-peer blocks ----
+        tm = jnp.moveaxis(t, scatter_dim, 0)
+        if even:
+            blocks = tm  # (P*Bs, ...) already contiguous per peer
         else:
-            # ---- pack: chunk the scatter dim into per-peer blocks ----
-            tm = jnp.moveaxis(t, scatter_dim, 0)
-            if even:
-                blocks = tm  # (P*Bs, ...) already contiguous per peer
-            else:
-                chunks = []
-                for p in range(P):
-                    c = lax.slice_in_dim(tm, off_scatter[p],
-                                         off_scatter[p] + splits_scatter[p],
-                                         axis=0)
-                    if splits_scatter[p] < Bs:
-                        padw = [(0, 0)] * c.ndim
-                        padw[0] = (0, Bs - splits_scatter[p])
-                        c = jnp.pad(c, padw)
-                    chunks.append(c)
-                blocks = jnp.concatenate(chunks, axis=0)
-            # ---- exchange over the mesh axis ----
-            recv = exchange(blocks, comm_name, P, Bs)
-            # ---- unpack: reassemble the gather dim ----
-            # position of the gather dim after moveaxis(scatter -> 0):
-            gpos = gather_dim + 1 if gather_dim < scatter_dim else gather_dim
-            if even:
-                out_m = _concat_gather_even(recv, P, Bs, Bg, gpos)
-            else:
-                parts = []
-                for q in range(P):
-                    blk = lax.slice_in_dim(recv, q * Bs, (q + 1) * Bs, axis=0)
-                    blk = lax.slice_in_dim(blk, 0, splits_gather[q], axis=gpos)
-                    parts.append(blk)
-                out_m = jnp.concatenate(parts, axis=gpos)
-            out_t = jnp.moveaxis(out_m, 0, scatter_dim)
+            chunks = []
+            for p in range(P):
+                c = lax.slice_in_dim(tm, off_scatter[p],
+                                     off_scatter[p] + splits_scatter[p],
+                                     axis=0)
+                if splits_scatter[p] < Bs:
+                    padw = [(0, 0)] * c.ndim
+                    padw[0] = (0, Bs - splits_scatter[p])
+                    c = jnp.pad(c, padw)
+                chunks.append(c)
+            blocks = jnp.concatenate(chunks, axis=0)
+        # ---- exchange over the mesh axis ----
+        recv = exchange(blocks, comm_name, P, Bs)
+        # ---- unpack: reassemble the gather dim ----
+        # position of the gather dim after moveaxis(scatter -> 0):
+        gpos = gather_dim + 1 if gather_dim < scatter_dim else gather_dim
+        if even:
+            out_m = _concat_gather_even(recv, P, Bs, Bg, gpos)
+        else:
+            parts = []
+            for q in range(P):
+                blk = lax.slice_in_dim(recv, q * Bs, (q + 1) * Bs, axis=0)
+                blk = lax.slice_in_dim(blk, 0, splits_gather[q], axis=gpos)
+                parts.append(blk)
+            out_m = jnp.concatenate(parts, axis=gpos)
+        out_t = jnp.moveaxis(out_m, 0, scatter_dim)
 
         out_t = jnp.transpose(out_t, axes=out_order + comp_axes)
         return _add_halos_padding(out_t, out_order, out_halo, out_pad)
@@ -244,7 +277,8 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
             f"are allowed)")
 
     fn = _build_transpose_fn(grid, ax, dir_, in_halo, out_halo, in_pad,
-                             out_pad, method_key, arr.ndim - 3)
+                             out_pad, method_key, arr.ndim - 3,
+                             permute_impl=_local_permute_impl(grid))
 
     names = ("x", "y", "z")
     op_name = f"transpose_{names[ax]}_to_{names[ax_out]}"

@@ -379,6 +379,37 @@ def profile_trace(log_dir: str):
         yield
 
 
+def device_op_times(log_dir: str) -> Dict[str, float]:
+    """Per-HLO-op device time from a :func:`profile_trace` capture.
+
+    Parses the trace-events export, keeps only TPU-device lanes (host lanes
+    record dispatch, not execution), and sums durations per op name —
+    {hlo_op_name: total_ms}.  The programmatic analog of reading the
+    reference's per-op NVTX ranges out of an Nsight report; used to
+    cross-check the wall-clock timing protocol against in-device truth
+    (BENCH_NOTES.md r3 "plane carry" found a 14% non-FFT overhead this way).
+    """
+    import glob
+    import gzip
+    import json as _json
+    out: Dict[str, float] = {}
+    for path in glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                          recursive=True):
+        with gzip.open(path, "rt") as f:
+            data = _json.load(f)
+        pids = {}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+        dev_pids = {p for p, n in pids.items() if "TPU" in n}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "X" and "dur" in e and (
+                    not dev_pids or e.get("pid") in dev_pids):
+                name = e.get("name", "?")
+                out[name] = out.get(name, 0.0) + e["dur"] / 1e3
+    return out
+
+
 # ---------------------------------------------------------------------------
 # shared timing protocol (autotune + bench) — forced completion
 # ---------------------------------------------------------------------------

@@ -315,3 +315,41 @@ def test_platform_allowlist():
     assert _platform_supports_pallas("tpu") is True
     assert _platform_supports_pallas("cpu") is False
     assert _platform_supports_pallas("gpu") is False
+
+
+def test_engine_local_permute_pallas(monkeypatch):
+    # CUDECOMP_TPU_LOCAL_PERMUTE=pallas routes the slab/single-rank net
+    # permute through the tiled one-pass kernel (interpret mode on CPU);
+    # results must match the XLA path exactly
+    import numpy as np
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+
+    gd = (16, 24, 32)
+    f = np.arange(np.prod(gd), dtype=np.float32).reshape(gd)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", impl)
+        monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+        cfg = GridConfig(gdims=gd, pdims=(1, 1),
+                         transpose_axis_contiguous=(True, True, True))
+        grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+        x = cd.scatter_global(grid, f, 0)
+        y = cd.transpose_x_to_y(grid, x)
+        z = cd.transpose_y_to_z(grid, y)
+        back = cd.transpose_y_to_x(grid, cd.transpose_z_to_y(grid, z))
+        outs[impl] = (np.asarray(cd.gather_global(grid, z, 2)),
+                      np.asarray(cd.gather_global(grid, back, 0)))
+        np.testing.assert_array_equal(outs[impl][1], f)
+    np.testing.assert_array_equal(outs["pallas"][0], outs["xla"][0])
+
+
+def test_pallas_cyclic_permute_tile_picker():
+    from cudecomp_tpu.ops.pallas_kernels import _pick_tile
+    assert _pick_tile(512) == 512
+    assert _pick_tile(262144) == 512
+    assert _pick_tile(256) == 256
+    assert _pick_tile(384) == 384
+    assert _pick_tile(16) == 16       # small extent: whole-dim block
+    assert _pick_tile(48) == 48
+    assert _pick_tile(1021) == 0      # prime > cap: no legal tile
