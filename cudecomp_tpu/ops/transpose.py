@@ -65,21 +65,44 @@ def _add_halos_padding(local, order, halo, pad):
 
 def _local_permute_impl(grid) -> str:
     """Implementation of the NET local permute on communication-free ops
-    ('pallas' one-pass tiled VMEM transpose, or 'xla').
+    ('pallas' one-pass tiled VMEM transpose, 'xla', or the 'mixed' rule).
 
     Measured on v5e at 512^3 f32 (device-trace timing, BENCH_NOTES.md r3):
-    XLA lowers the cyclic permute as TWO full HBM copy passes (3.22 ms =
-    333 GB/s effective) while the Pallas kernel streams ONE pass at
-    1.63 ms = 658 GB/s — the cuTENSOR-localPermute role
-    (transpose.h:80-157).  ``CUDECOMP_TPU_LOCAL_PERMUTE`` in {auto, xla,
-    pallas}; auto selects Pallas on TPU meshes.
+    the Pallas kernel streams ONE pass at 1.63 ms = 658 GB/s (the
+    cuTENSOR-localPermute role, transpose.h:80-157), but chaining two
+    SAME-direction cyclic Pallas permutes forces a physical sublane
+    regroup between them ((8,128) tiling makes the producer's natural 2D
+    form and the consumer's wanted 2D view different physical layouts) —
+    XLA inserts a 2.3-3.0 ms reshape pass.  An XLA permute absorbs that
+    regroup into its own two passes.  In the canonical X2Y;Y2Z;Z2Y;Y2X
+    cycle the conflicts sit exactly at Y2Z and Y2X, so the 'mixed' rule
+    (Pallas for X2Y/Z2Y, XLA for Y2Z/Y2X) hits the tiling-obstruction
+    floor: 9.6 ms vs 16.6 all-Pallas / 23+ all-XLA at 512^3
+    (BENCH_NOTES.md r3 "PXPX").  ``CUDECOMP_TPU_LOCAL_PERMUTE`` in
+    {auto, xla, pallas, mixed}; auto selects mixed on TPU meshes.
     """
     import os
     val = os.environ.get("CUDECOMP_TPU_LOCAL_PERMUTE", "auto")
-    if val in ("xla", "pallas"):
+    if val in ("xla", "pallas", "mixed"):
         return val
     from cudecomp_tpu.ops.pallas_kernels import _mesh_platform
-    return "pallas" if _mesh_platform(grid.mesh) == "tpu" else "xla"
+    return "mixed" if _mesh_platform(grid.mesh) == "tpu" else "xla"
+
+
+# ops whose net permute runs the Pallas kernel under the 'mixed' rule:
+# X2Y (ax=0,dir=+1) and Z2Y (ax=2,dir=-1).  Their successors in the
+# canonical FFT cycle (Y2Z, Y2X) take the XLA permute, which absorbs the
+# otherwise-unavoidable sublane-regroup pass between two same-direction
+# Pallas kernels.
+_MIXED_PALLAS_OPS = frozenset({(0, +1), (2, -1)})
+
+
+def _net_perm(cfg, ax: int, dir_: int):
+    """NET local permutation a communication-free transpose performs:
+    input mem order -> output mem order, composed into one transpose."""
+    in_inv = cfg.inv_mem_order(ax)
+    out_order = cfg.mem_order(ax + dir_)
+    return tuple(in_inv[o] for o in out_order)
 
 
 @lru_cache(maxsize=512)
@@ -190,9 +213,13 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
             # into ONE net permutation — dispatched to the one-pass Pallas
             # kernel on TPU meshes (see _local_permute_impl)
             net = tuple(in_inv[o] for o in out_order) + comp_axes
+            use_pallas = (permute_impl == "pallas"
+                          or (permute_impl == "mixed"
+                              and (ax, dir_) in _MIXED_PALLAS_OPS))
             if net == tuple(range(t.ndim)):
                 out_t = t
-            elif permute_impl == "pallas" and t.ndim == 3:
+            elif (use_pallas and t.ndim == 3
+                  and not jnp.issubdtype(t.dtype, jnp.complexfloating)):
                 from cudecomp_tpu.ops.pallas_kernels import (
                     pallas_cyclic_permute)
                 out_t = pallas_cyclic_permute(t, net, force=True)

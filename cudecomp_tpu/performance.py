@@ -295,12 +295,35 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
            (tr.transpose_z_to_y, 2), (tr.transpose_y_to_x, 1)]
     shapes_match = (grid.global_shape(0) == grid.global_shape(1)
                     == grid.global_shape(2))
-    if cfg.pdims == (1, 1):
-        # On one chip the chained round trip composes to the identity
-        # permutation and XLA folds it away entirely (even through
-        # lax.optimization_barrier) — time each op separately instead, the
-        # analog of the reference's per-op event pairs.  a2a is zero by
-        # definition.
+    from cudecomp_tpu.ops.transpose import (_local_permute_impl, _net_perm,
+                                            _MIXED_PALLAS_OPS)
+    impl = _local_permute_impl(grid)
+    cyclic = ((1, 2, 0), (2, 0, 1))
+    cycle_ops = ((0, +1), (1, +1), (2, -1), (1, -1))
+    # the chain is fold-proof iff every op is a non-trivial cyclic permute
+    # and at least one of them lowers to an opaque Pallas call
+    opaque_chain = (
+        all(_net_perm(cfg, a, d) in cyclic for a, d in cycle_ops)
+        and not np.issubdtype(np.dtype(dtype), np.complexfloating)
+        and (impl == "pallas"
+             or (impl == "mixed"
+                 and any((a, d) in _MIXED_PALLAS_OPS for a, d in cycle_ops))))
+    if cfg.pdims == (1, 1) and shapes_match and opaque_chain:
+        # With Pallas local permutes in the chain (opaque custom calls)
+        # XLA cannot fold the identity composition, so the chained cycle
+        # is directly measurable — the same program shape the reference's
+        # autotuner trials time (autotune.cc:546-626).
+        x = jax.device_put(np.zeros(grid.global_shape(0), dtype),
+                           grid.sharding(0))
+        total = float(np.min(time_scanned(
+            rt(m), x, iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
+        local, a2a = total, 0.0
+    elif cfg.pdims == (1, 1):
+        # On one chip a pure-XLA chained round trip composes to the
+        # identity permutation and XLA folds it away entirely (even
+        # through lax.optimization_barrier) — time each op separately
+        # instead, the analog of the reference's per-op event pairs.
+        # a2a is zero by definition.
         total = 0.0
         if shapes_match:
             # cubic: each op is shape-preserving, so scan it (iterations
