@@ -103,6 +103,35 @@ def transpose_headline(N=512, n_trials=3, iters=32):
                 if seg["local_ms"] > 0 else None)}
 
 
+def halo_headline(N=512, width=1, ITERS=32, n_trials=3):
+    """Halo-update cost on the x-pencil with ±``width`` halos in all
+    distributed dims, periodic — the autotuneHaloBackend trial payload
+    (autotune.cc:771-1124; BASELINE.md row '64^3 halo autotune')."""
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    pr = int(math.isqrt(n_dev))
+    while n_dev % pr:
+        pr -= 1
+    cfg = GridConfig(gdims=(N, N, N), pdims=(pr, n_dev // pr))
+    grid = cd.make_grid(cfg, devices=devices)
+    he = (width, width, width)
+    periodic = (True, True, True)
+
+    def step(v):
+        return cd.update_halos(grid, v, 0, he, periodic)
+
+    x = jax.device_put(
+        np.zeros(grid.global_shape(0, halo_extents=he), np.float32),
+        grid.sharding(0))
+    t = _time_scanned_local(step, x, ITERS, n_trials)
+    return {"metric": f"{N}^3 f32 halo update (x-pencil, width {width}, "
+                      f"periodic, {n_dev} chip{'s' if n_dev > 1 else ''})",
+            "value": round(t * 1e3, 3), "unit": "ms"}
+
+
 def main():
     import bench
     results = []
@@ -122,6 +151,10 @@ def main():
     results.append(r)
 
     r = transpose_headline()
+    print(json.dumps(r))
+    results.append(r)
+
+    r = halo_headline()
     print(json.dumps(r))
     results.append(r)
 

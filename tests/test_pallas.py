@@ -318,9 +318,10 @@ def test_platform_allowlist():
 
 
 def test_engine_local_permute_pallas(monkeypatch):
-    # CUDECOMP_TPU_LOCAL_PERMUTE=pallas routes the slab/single-rank net
-    # permute through the tiled one-pass kernel (interpret mode on CPU);
-    # results must match the XLA path exactly
+    # CUDECOMP_TPU_LOCAL_PERMUTE=pallas/mixed routes the slab/single-rank
+    # net permute through the tiled one-pass kernel (all four ops, or only
+    # X2Y/Z2Y under the mixed rule; interpret mode on CPU); results must
+    # match the XLA path exactly
     import numpy as np
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
@@ -328,7 +329,7 @@ def test_engine_local_permute_pallas(monkeypatch):
     gd = (16, 24, 32)
     f = np.arange(np.prod(gd), dtype=np.float32).reshape(gd)
     outs = {}
-    for impl in ("xla", "pallas"):
+    for impl in ("xla", "pallas", "mixed"):
         monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", impl)
         monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
         cfg = GridConfig(gdims=gd, pdims=(1, 1),
@@ -342,6 +343,24 @@ def test_engine_local_permute_pallas(monkeypatch):
                       np.asarray(cd.gather_global(grid, back, 0)))
         np.testing.assert_array_equal(outs[impl][1], f)
     np.testing.assert_array_equal(outs["pallas"][0], outs["xla"][0])
+    np.testing.assert_array_equal(outs["mixed"][0], outs["xla"][0])
+
+
+def test_net_perm_and_mixed_rule():
+    from cudecomp_tpu.config import GridConfig
+    from cudecomp_tpu.ops.transpose import _net_perm, _MIXED_PALLAS_OPS
+
+    cfg = GridConfig(gdims=(16, 24, 32), pdims=(1, 1),
+                     transpose_axis_contiguous=(True, True, True))
+    cyc = {(1, 2, 0), (2, 0, 1)}
+    for a, d in ((0, +1), (1, +1), (2, -1), (1, -1)):
+        assert _net_perm(cfg, a, d) in cyc
+    # natural layout: nets are identity (single-chip transposes are no-ops)
+    cfg_n = GridConfig(gdims=(16, 24, 32), pdims=(1, 1))
+    for a, d in ((0, +1), (1, +1), (2, -1), (1, -1)):
+        assert _net_perm(cfg_n, a, d) == (0, 1, 2)
+    # the mixed rule assigns Pallas to X2Y and Z2Y only
+    assert _MIXED_PALLAS_OPS == {(0, +1), (2, -1)}
 
 
 def test_pallas_cyclic_permute_tile_picker():
