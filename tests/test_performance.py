@@ -100,3 +100,53 @@ def test_rows_cross_host_reduction(monkeypatch):
     assert row["avg_ms"] == 3.5       # mean(3, 4)
     assert row["min_ms"] == 1.5       # min(2, 1.5)
     assert row["max_ms"] == 6.0       # max(4, 6)
+
+
+def test_segment_roundtrip_single_chip_chained(monkeypatch):
+    # the opaque-chain branch: with Pallas kernels in the chain (interpret
+    # mode on CPU) the identity composition cannot fold, so the chained
+    # cycle is timed directly — totals must be positive and a2a zero
+    from cudecomp_tpu import performance as perf
+
+    monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", "mixed")
+    monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(1, 1),
+                     transpose_axis_contiguous=(True, True, True))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+    seg = perf.segment_roundtrip(grid, np.float32, iters=2, n_warmup=1,
+                                 n_trials=1, record=False)
+    assert seg["total_ms"] > 0
+    assert seg["a2a_ms"] == 0.0
+    assert seg["local_ms"] == seg["total_ms"]
+
+
+def test_segment_roundtrip_single_chip_per_op(monkeypatch):
+    # pure-XLA impl: the chain folds to identity, so the per-op pinned
+    # branch must be taken (and still return positive totals)
+    from cudecomp_tpu import performance as perf
+
+    monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", "xla")
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(1, 1),
+                     transpose_axis_contiguous=(True, True, True))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+    seg = perf.segment_roundtrip(grid, np.float32, iters=2, n_warmup=1,
+                                 n_trials=1, record=False)
+    assert seg["total_ms"] > 0
+    assert seg["a2a_ms"] == 0.0
+
+
+def test_segment_roundtrip_multi_device():
+    # multi-device grid: chained total with direct a2a segmentation
+    from cudecomp_tpu import performance as perf
+
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        import pytest
+        pytest.skip("needs >= 2 devices")
+    cfg = GridConfig(gdims=(8, 8, 8), pdims=(1, n))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:n])
+    seg = perf.segment_roundtrip(grid, np.float32, iters=2, n_warmup=1,
+                                 n_trials=1, record=False)
+    assert seg["total_ms"] > 0
+    assert 0.0 <= seg["a2a_ms"] <= seg["total_ms"]
+    assert abs(seg["total_ms"] - seg["a2a_ms"] - seg["local_ms"]) < 1e-9
