@@ -123,13 +123,20 @@ def _valid_pdims(cfg: GridConfig, nranks: int,
         if pc_range and not (pc_range[0] <= pc <= pc_range[1]):
             continue
         trial = cfg.with_pdims((pr, pc))
-        # skip empty-pencil candidates (autotune.cc:334-373)
+        # skip empty-pencil candidates (autotune.cc:334-373); optionally
+        # skip uneven decompositions (allow_uneven_decompositions,
+        # cudecomp.h:175)
         ok = True
         for axis in range(3):
             a, b = geometry.pencil_shard_dims(axis)
-            if (min(geometry._dist_splits(trial, a, pr)) == 0
-                    or min(geometry._dist_splits(trial, b, pc)) == 0):
-                ok = False
+            for dim, P in ((a, pr), (b, pc)):
+                splits = geometry._dist_splits(trial, dim, P)
+                if min(splits) == 0 or (
+                        not options.allow_uneven_decompositions
+                        and len(set(splits)) > 1):
+                    ok = False
+                    break
+            if not ok:
                 break
         if ok:
             out.append((pr, pc))
@@ -156,7 +163,8 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
                     n_warmup: int, n_trials: int,
                     skip_after_first_above: Optional[float],
                     iters: int = 2,
-                    n_components: int = 0) -> Tuple[List[float], bool]:
+                    n_components: int = 0,
+                    op_kwargs=None) -> Tuple[List[float], bool]:
     """Weighted 4-op round-trip timings (forced completion); returns
     (per-trial weighted seconds, skipped).
 
@@ -180,23 +188,36 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
 
     ``n_components`` appends that many trailing component dims of size 2
     (e.g. 1 for split-complex) so trials move the production payload.
+    ``op_kwargs`` gives 4 per-op keyword dicts (halo extents / padding the
+    application will use — ``transpose_input_halo_extents`` etc,
+    ``cudecomp.h:195-208``).
     """
     from cudecomp_tpu import performance as perf
     from cudecomp_tpu.ops import transpose as tr
 
     cfg = grid.config
-    shape = geometry.global_buffer_shape(cfg, 0) + (2,) * n_components
+    op_kwargs = op_kwargs or ({}, {}, {}, {})
+    in_he0 = op_kwargs[0].get("input_halo_extents", (0, 0, 0))
+    shape = (geometry.global_buffer_shape(cfg, 0, in_he0)
+             + (2,) * n_components)
     x = jax.device_put(np.zeros(shape, dtype=np.dtype(dtype)),
                        grid.sharding(0))
     m = cfg.transpose_method
 
     def roundtrip(a):
-        b = tr.transpose_x_to_y(grid, a, method=m)
-        b = tr.transpose_y_to_z(grid, b, method=m)
-        b = tr.transpose_z_to_y(grid, b, method=m)
-        return tr.transpose_y_to_x(grid, b, method=m)
+        b = tr.transpose_x_to_y(grid, a, method=m, **op_kwargs[0])
+        b = tr.transpose_y_to_z(grid, b, method=m, **op_kwargs[1])
+        b = tr.transpose_z_to_y(grid, b, method=m, **op_kwargs[2])
+        return tr.transpose_y_to_x(grid, b, method=m, **op_kwargs[3])
 
     uniform = len(set(weights)) == 1
+    if not uniform and any(op_kwargs):
+        # the pair-differencing shortcut chains X2Y straight into Y2X,
+        # which is not a production adjacency — with per-op halo/padding
+        # payloads the shapes need not chain, so score with the mean
+        # weight over the real round trip instead
+        uniform = True
+        weights = (float(np.mean(weights)),) * 4
     w_mean = float(np.mean(weights))
     rt_timer = perf.ScannedTimer(roundtrip, x, iters)
 
@@ -248,6 +269,31 @@ def _time_halo(grid: GridDescriptor, dtype, options: AutotuneOptions,
         fn, x, iters=iters, n_warmup=n_warmup, n_trials=n_trials))
 
 
+def _halo_method_candidates(options: AutotuneOptions, devices):
+    if options.halo_methods:
+        return list(options.halo_methods)
+    out = [HaloMethod.PPERMUTE]
+    from cudecomp_tpu.ops.pallas_kernels import pallas_a2a_available
+    if pallas_a2a_available(devices[0].platform):
+        out.append(HaloMethod.PALLAS)
+    return out
+
+
+def _trial_op_kwargs(options: AutotuneOptions):
+    """Per-op transpose trial payload kwargs (the halo/padding arguments
+    the application will use in production — cudecomp.h:195-208)."""
+    out = [{}, {}, {}, {}]
+    for name, val in (
+            ("input_halo_extents", options.transpose_input_halo_extents),
+            ("output_halo_extents", options.transpose_output_halo_extents),
+            ("input_padding", options.transpose_input_padding),
+            ("output_padding", options.transpose_output_padding)):
+        if val is not None:
+            for i in range(4):
+                out[i][name] = val[i]
+    return tuple(out)
+
+
 def autotune(
     config: GridConfig,
     devices: Optional[Sequence[jax.Device]] = None,
@@ -256,7 +302,13 @@ def autotune(
     dtype=None,
 ) -> AutotuneResult:
     """Search (pdims x transpose strategy), then halo strategy, and return a
-    GridDescriptor with the winning configuration frozen in."""
+    GridDescriptor with the winning configuration frozen in.
+
+    With ``options.grid_mode == "halo"`` the phases invert (the reference's
+    ``CUDECOMP_AUTOTUNE_GRID_HALO`` dispatch, src/cudecomp.cc:1200-1211):
+    the process grid is chosen by timing halo updates on ``halo_axis``
+    pencils across (pdims x halo method), then the transpose strategy is
+    tuned with the grid fixed."""
     options = options or AutotuneOptions()
     if devices is None:
         devices = jax.devices()
@@ -280,6 +332,45 @@ def autotune(
                              f"devices for gdims {config.gdims}")
     else:
         pdims_cands = [config.pdims]
+
+    # ---- grid_mode == "halo": choose the process grid (and halo method)
+    # by timing halo updates first (autotuneHaloBackend with grid sweep,
+    # src/autotune.cc:771-1124) --------------------------------------------
+    halo_first_trials: List[TrialRecord] = []
+    halo_first_best = None  # (time, pdims, halo_method)
+    if options.grid_mode == "halo":
+        if not any(options.halo_extents):
+            raise ValueError(
+                "grid_mode='halo' requires nonzero AutotuneOptions."
+                "halo_extents (the reference rejects this too)")
+        for pdims in pdims_cands:
+            mesh = build_mesh(pdims, devices=devices,
+                              rank_order=config.rank_order,
+                              axis_names=axis_names)
+            for hm in _halo_method_candidates(options, devices):
+                cfg = dataclasses.replace(config.with_pdims(pdims),
+                                          halo_method=hm)
+                grid = GridDescriptor(config=cfg, mesh=mesh,
+                                      axis_names=axis_names)
+                try:
+                    times = _time_halo(grid, dtype, options,
+                                       options.n_warmup, options.n_trials,
+                                       n_components=options.n_components)
+                except Exception:
+                    halo_first_trials.append(TrialRecord(
+                        pdims, hm.value, (), float("inf"), float("inf"),
+                        skipped=True))
+                    continue
+                avg = float(np.mean(times))
+                halo_first_trials.append(TrialRecord(
+                    pdims, hm.value, tuple(times), avg,
+                    float(np.min(times))))
+                if halo_first_best is None or avg < halo_first_best[0]:
+                    halo_first_best = (avg, pdims, hm)
+        if halo_first_best is None:
+            raise RuntimeError("autotuning failed: every halo-mode grid "
+                               "candidate was skipped")
+        pdims_cands = [halo_first_best[1]]
 
     from cudecomp_tpu.utils import env as env_util
     if options.autotune_transpose_method:
@@ -332,7 +423,8 @@ def autotune(
             try:
                 times, skipped = _time_roundtrip(
                     grid, dtype, weights, options.n_warmup, options.n_trials,
-                    threshold, n_components=n_comp)
+                    threshold, n_components=n_comp,
+                    op_kwargs=_trial_op_kwargs(options))
             except Exception as e:
                 # candidate failed to compile/run (OOM analog) — skip it,
                 # like the reference's collective OOM fallback (autotune.cc:437-447)
@@ -358,14 +450,17 @@ def autotune(
 
     halo_trials: List[TrialRecord] = []
     best_halo = None
-    if options.autotune_halo_method and any(options.halo_extents):
-        if options.halo_methods:
-            halo_methods = list(options.halo_methods)
-        else:
-            halo_methods = [HaloMethod.PPERMUTE]
-            from cudecomp_tpu.ops.pallas_kernels import pallas_a2a_available
-            if pallas_a2a_available(devices[0].platform):
-                halo_methods.append(HaloMethod.PALLAS)
+    if options.grid_mode == "halo":
+        # phase 1 already chose the halo method along with the grid —
+        # freeze it into the winning config
+        best_halo = halo_first_best[2]
+        halo_trials = halo_first_trials
+        best_grid = GridDescriptor(
+            config=dataclasses.replace(best_grid.config,
+                                       halo_method=best_halo),
+            mesh=best_grid.mesh, axis_names=axis_names)
+    elif options.autotune_halo_method and any(options.halo_extents):
+        halo_methods = _halo_method_candidates(options, devices)
         hbest = None
         for hm in halo_methods:
             cfg = dataclasses.replace(best_grid.config, halo_method=hm)

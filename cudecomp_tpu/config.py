@@ -258,3 +258,36 @@ class AutotuneOptions:
     halo_extents: Triple = (0, 0, 0)
     halo_periods: Tuple[bool, bool, bool] = (True, True, True)
     halo_axis: int = 0
+    #: which communication pattern selects the process grid: "transpose"
+    #: (default) times transpose round trips, "halo" times halo updates on
+    #: ``halo_axis`` pencils — the analog of ``grid_mode``
+    #: (``cudecomp.h:172``, dispatch ``src/cudecomp.cc:1200-1211``)
+    grid_mode: str = "transpose"
+    #: when False, exclude process grids that split any pencil axis
+    #: unevenly (``allow_uneven_decompositions``, ``cudecomp.h:175``)
+    allow_uneven_decompositions: bool = True
+    #: optional per-op trial payloads: 4 triples (X2Y, Y2Z, Z2Y, Y2X), the
+    #: halo/padding arguments the application will use in production —
+    #: ``transpose_input_halo_extents[4][3]`` etc (``cudecomp.h:195-208``)
+    transpose_input_halo_extents: Optional[Tuple[Triple, ...]] = None
+    transpose_output_halo_extents: Optional[Tuple[Triple, ...]] = None
+    transpose_input_padding: Optional[Tuple[Triple, ...]] = None
+    transpose_output_padding: Optional[Tuple[Triple, ...]] = None
+
+    def __post_init__(self):
+        if self.grid_mode not in ("transpose", "halo"):
+            raise ValueError(
+                f"grid_mode must be 'transpose' or 'halo', got "
+                f"{self.grid_mode!r}")
+        for name in ("transpose_input_halo_extents",
+                     "transpose_output_halo_extents",
+                     "transpose_input_padding", "transpose_output_padding"):
+            val = getattr(self, name)
+            if val is None:
+                continue
+            val = tuple(_as_triple(v, f"{name}[i]") for v in val)
+            if len(val) != 4:
+                raise ValueError(
+                    f"{name} must give 4 per-op triples (X2Y, Y2Z, Z2Y, "
+                    f"Y2X), got {len(val)}")
+            object.__setattr__(self, name, val)

@@ -221,3 +221,75 @@ def test_nonuniform_weights_reduced_before_differencing():
                                      skip_after_first_above=None)
     assert not skipped and len(times) == 3
     assert all(t > 0 for t in times)
+
+
+def test_grid_mode_halo_selects_grid():
+    # reference CUDECOMP_AUTOTUNE_GRID_HALO dispatch (cudecomp.cc:1200-1211):
+    # the process grid is chosen by halo timing, then the transpose method
+    # is tuned with the grid fixed
+    opts = cd.AutotuneOptions(n_warmup=1, n_trials=2, grid_mode="halo",
+                              halo_extents=(1, 1, 1))
+    cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(0, 0))
+    res = autotune(cfg, options=opts)
+    assert res.best_halo_method is not None
+    assert res.halo_trials  # the grid sweep's halo trials are recorded
+    assert res.grid.config.halo_method == res.best_halo_method
+    # all halo trials cover > 1 pdims candidate on an 8-device mesh
+    assert len({t.pdims for t in res.halo_trials}) > 1
+    # transpose trials ran only on the halo-chosen grid
+    assert {t.pdims for t in res.trials} == {res.best_pdims}
+
+
+def test_grid_mode_halo_requires_extents():
+    opts = cd.AutotuneOptions(grid_mode="halo")
+    cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(0, 0))
+    with pytest.raises(ValueError, match="halo_extents"):
+        autotune(cfg, options=opts)
+
+
+def test_grid_mode_validation():
+    with pytest.raises(ValueError, match="grid_mode"):
+        cd.AutotuneOptions(grid_mode="bogus")
+
+
+def test_allow_uneven_decompositions_filter():
+    from cudecomp_tpu.autotune import _valid_pdims
+
+    cfg = cd.GridConfig(gdims=(36, 36, 36), pdims=(0, 0))
+    allow = _valid_pdims(cfg, 8, cd.AutotuneOptions())
+    strict = _valid_pdims(
+        cfg, 8, cd.AutotuneOptions(allow_uneven_decompositions=False))
+    assert (1, 8) in allow and (8, 1) in allow
+    # 36 % 8 != 0: grids with an 8-way axis are uneven -> excluded
+    assert set(strict) == {(2, 4), (4, 2)}
+    # divisible gdims keep every candidate
+    cfg2 = cd.GridConfig(gdims=(32, 32, 32), pdims=(0, 0))
+    assert _valid_pdims(
+        cfg2, 8, cd.AutotuneOptions(allow_uneven_decompositions=False)) == \
+        _valid_pdims(cfg2, 8, cd.AutotuneOptions())
+
+
+def test_trial_op_payload_halos():
+    # trials run with the production per-op halo payloads
+    # (transpose_input_halo_extents, cudecomp.h:195-208)
+    he = (1, 1, 1)
+    per_op = (he, he, he, he)
+    opts = cd.AutotuneOptions(n_warmup=1, n_trials=2,
+                              transpose_input_halo_extents=per_op,
+                              transpose_output_halo_extents=per_op)
+    cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(0, 0))
+    res = autotune(cfg, options=opts)
+    assert res.best_pdims in {t.pdims for t in res.trials}
+    # non-uniform weights + payload halos: falls back to mean-weight
+    # chained scoring (the pair shortcut is not a production adjacency)
+    opts2 = cd.AutotuneOptions(n_warmup=1, n_trials=2,
+                               transpose_op_weights=(2.0, 1.0, 1.0, 2.0),
+                               transpose_input_halo_extents=per_op,
+                               transpose_output_halo_extents=per_op)
+    res2 = autotune(cfg, options=opts2)
+    assert res2.best_time_s > 0
+
+
+def test_trial_op_payload_validation():
+    with pytest.raises(ValueError, match="4 per-op"):
+        cd.AutotuneOptions(transpose_input_halo_extents=((1, 1, 1),))
