@@ -79,37 +79,60 @@ def update_halos(grid, arr, axis: int, halo_extents, halo_periods,
     for d in dims:
         if d not in (0, 1, 2):
             raise ValueError(f"dim out of range: {d}")
-        if halo[d] == 0:
-            continue  # reference returns early on zero halo (cudecomp.cc:1930-1933)
-        with trace_range(f"cudecomp_tpu.update_halos_{names[axis]}_dim{d}"):
-            arr = _update_dim(grid, arr, axis, d, halo, periods[d], pad)
-    return arr
+    dims = tuple(d for d in dims if halo[d] > 0)
+    if not dims:
+        return arr  # reference returns early on zero halo (cudecomp.cc:1930-1933)
+
+    # ALL requested dims run inside ONE shard_map program: the sequential
+    # per-dim updates (corners compose like successive reference calls)
+    # chain their slab writes over a single buffer copy, where one jitted
+    # program per dim pays a full copy pass each (measured 8.7 -> ~2.6 ms
+    # at 512^3 width-1 on one chip)
+    with trace_range(f"cudecomp_tpu.update_halos_{names[axis]}_dims"
+                     f"{''.join(map(str, dims))}"):
+        fn = _build_halo_fn(grid, axis, dims, halo, periods, pad,
+                            arr.ndim - 3)
+        cfg = grid.config
+        ms = geometry.max_splits(cfg, axis)
+
+        def perf_key():
+            slabs = 0
+            for d in dims:
+                other = [ms[g] for g in range(3) if g != d]
+                slabs += halo[d] * other[0] * other[1]  # one face slab/dir
+            key = (f"update_halos_axis{axis}_dims"
+                   f"{''.join(map(str, dims))}", cfg.gdims, cfg.pdims,
+                   cfg.halo_method.value, str(arr.dtype), tuple(halo),
+                   periods)
+            return key, int(2 * slabs * arr.dtype.itemsize)
+
+        from cudecomp_tpu import performance as perf
+        return perf.maybe_record(perf_key, fn, arr)
 
 
-def _update_dim(grid, arr, axis, d, halo, periodic, pad):
-    fn = _build_halo_fn(grid, axis, d, halo, bool(periodic), pad, arr.ndim - 3)
+def _write_halo_slabs(local, low, high, h, m, i_d):
+    """Write the two received halo slabs into the buffer.
+
+    For the minor spatial dim (i_d == 2) a ``dynamic_update_slice``
+    lowers as a full buffer copy plus an element-strided slab write
+    (measured 2.1 + 1.3 ms per side at 512^3 width-1); a concatenate
+    along that dim is one contiguous materialization instead.  The major
+    dims' slab updates are contiguous and lower in place (~0.05 ms) —
+    keep the DUS form there."""
+    if i_d == 2:
+        size = local.shape[i_d]
+        parts = [low, lax.slice_in_dim(local, h, h + m, axis=i_d), high]
+        if size > 2 * h + m:  # preserve trailing padding
+            parts.append(lax.slice_in_dim(local, 2 * h + m, size, axis=i_d))
+        return jnp.concatenate(parts, axis=i_d)
+    local = lax.dynamic_update_slice_in_dim(local, low, 0, axis=i_d)
+    return lax.dynamic_update_slice_in_dim(local, high, h + m, axis=i_d)
+
+
+def _dim_body(grid, axis, d, halo, periodic):
+    """Per-dim halo-update body (applied to the shard-local block)."""
     cfg = grid.config
-    ms = geometry.max_splits(cfg, axis)
     h = halo[d]
-
-    def perf_key():
-        other = [ms[g] for g in range(3) if g != d]
-        slab = h * other[0] * other[1]  # one face slab, per direction
-        key = (f"update_halos_axis{axis}_dim{d}", cfg.gdims, cfg.pdims,
-               cfg.halo_method.value, str(arr.dtype), tuple(halo), periodic)
-        return key, int(2 * slab * arr.dtype.itemsize)
-
-    from cudecomp_tpu import performance as perf
-    return perf.maybe_record(perf_key, fn, arr)
-
-
-@lru_cache(maxsize=512)
-def _build_halo_fn(grid, axis, d, halo, periodic, pad, n_comp_dims):
-    """Build (and cache) the jitted shard_map program for one halo-update
-    configuration (plan-cache analog, see transpose._build_transpose_fn)."""
-    cfg = grid.config
-    h = halo[d]
-    order = cfg.mem_order(axis)
     inv = cfg.inv_mem_order(axis)
     i_d = inv[d]  # array dim holding global dim d
     ms = geometry.max_splits(cfg, axis)
@@ -130,7 +153,7 @@ def _build_halo_fn(grid, axis, d, halo, periodic, pad, n_comp_dims):
 
     uneven = len(set(splits)) > 1
 
-    def local_fn(local):
+    def apply(local):
         def valid_extent():
             if not uneven:
                 return splits[0]
@@ -143,11 +166,7 @@ def _build_halo_fn(grid, axis, d, halo, periodic, pad, n_comp_dims):
             v = splits[0]
             low_src = lax.slice_in_dim(local, h + v - h, h + v, axis=i_d)
             high_src = lax.slice_in_dim(local, h, 2 * h, axis=i_d)
-            local = lax.dynamic_update_slice_in_dim(
-                local, low_src, 0, axis=i_d)
-            local = lax.dynamic_update_slice_in_dim(
-                local, high_src, h + m, axis=i_d)
-            return local
+            return _write_halo_slabs(local, low_src, high_src, h, m, i_d)
 
         name = grid.axis_names[pd]
         if cfg.halo_method == HaloMethod.PALLAS:
@@ -181,9 +200,21 @@ def _build_halo_fn(grid, axis, d, halo, periodic, pad, n_comp_dims):
             from_left = jnp.where(is_first, old_low, from_left)
             from_right = jnp.where(is_last, old_high, from_right)
 
-        local = lax.dynamic_update_slice_in_dim(local, from_left, 0, axis=i_d)
-        local = lax.dynamic_update_slice_in_dim(local, from_right, h + m,
-                                                axis=i_d)
+        return _write_halo_slabs(local, from_left, from_right, h, m, i_d)
+
+    return apply
+
+
+@lru_cache(maxsize=512)
+def _build_halo_fn(grid, axis, dims, halo, periods, pad, n_comp_dims):
+    """Build (and cache) the jitted shard_map program for one halo-update
+    configuration — ALL requested dims applied sequentially inside one
+    program (plan-cache analog, see transpose._build_transpose_fn)."""
+    bodies = [_dim_body(grid, axis, d, halo, periods[d]) for d in dims]
+
+    def local_fn(local):
+        for body in bodies:
+            local = body(local)
         return local
 
     spec = jax.sharding.PartitionSpec(
