@@ -156,6 +156,12 @@ class PerfRegistry:
                 lines.append(f"  samples {'/'.join(str(k) for k in key)}:")
                 for i, t in enumerate(s.times_ms):
                     lines.append(f"    {i:4d} {t:10.4f} ms")
+        write_dir = os.environ.get("CUDECOMP_TPU_PERF_WRITE_DIR")
+        if write_dir:
+            # auto-export CSVs at report time, the analog of
+            # CUDECOMP_PERFORMANCE_REPORT_WRITE_DIR (docs/env_vars.rst:77-91)
+            paths = self.write_csv(write_dir)
+            lines.append(f"  wrote {len(paths)} CSV file(s) to {write_dir}")
         return "\n".join(lines)
 
     def write_csv(self, directory: str = ".", prefix: str = "cudecomp_tpu_perf"):

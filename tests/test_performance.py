@@ -150,3 +150,22 @@ def test_segment_roundtrip_multi_device():
     assert seg["total_ms"] > 0
     assert 0.0 <= seg["a2a_ms"] <= seg["total_ms"]
     assert abs(seg["total_ms"] - seg["a2a_ms"] - seg["local_ms"]) < 1e-9
+
+
+def test_report_write_dir_env(tmp_path, monkeypatch):
+    # CUDECOMP_PERFORMANCE_REPORT_WRITE_DIR analog: report() auto-exports
+    # per-config CSVs when the env var is set
+    monkeypatch.setenv("CUDECOMP_TPU_PERF_WRITE_DIR", str(tmp_path))
+    REGISTRY.enabled = True
+    try:
+        REGISTRY.record(("testop", (8, 8, 8)), 1.25, 1024)
+        REGISTRY.record(("testop", (8, 8, 8)), 1.5, 1024)
+        out = REGISTRY.report()
+        assert "wrote" in out
+        csvs = list(tmp_path.glob("cudecomp_tpu_perf.*.csv"))
+        assert csvs, "no CSVs exported"
+        body = csvs[0].read_text()
+        assert body.startswith("sample,time_ms")
+    finally:
+        REGISTRY.enabled = False
+        REGISTRY.samples.clear()
