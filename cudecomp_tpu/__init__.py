@@ -56,7 +56,8 @@ from cudecomp_tpu.ops.transpose import (
 )
 from cudecomp_tpu.ops.halo import update_halos
 from cudecomp_tpu.ops import fft
-from cudecomp_tpu.ops.fft import DistributedFFT, fft3d, ifft3d
+from cudecomp_tpu.ops.fft import (DistributedFFT, autotune_fft,
+                                  fft3d, ifft3d)
 from cudecomp_tpu.autotune import autotune, AutotuneResult
 from cudecomp_tpu import performance
 from cudecomp_tpu.performance import (perf_report_enable, profile_trace,
@@ -94,6 +95,7 @@ __all__ = [
     "update_halos",
     "fft",
     "DistributedFFT",
+    "autotune_fft",
     "fft3d",
     "ifft3d",
     "autotune",

@@ -100,11 +100,25 @@ class DistributedFFT:
 
     For ``real=True``, forward input is a real X-pencil on ``grid`` and the
     spectral output lives on ``complex_grid`` (X extent X//2+1).
+
+    ``precision`` / ``gauss`` pin a per-plan MXU policy (the planner analog
+    of cuFFT plan attributes); ``None`` defers to the env knobs
+    (``CUDECOMP_TPU_FFT_PRECISION`` / ``_GAUSS``).  :func:`autotune_fft`
+    returns a plan with the fastest gate-passing policy pinned.
     """
 
     grid: GridDescriptor
     real: bool = False
     split_complex: bool = False
+    precision: str = None
+    gauss: bool = None
+
+    def _policy(self):
+        if self.precision is None and self.gauss is None:
+            import contextlib
+            return contextlib.nullcontext()
+        from cudecomp_tpu.ops import mxu_fft
+        return mxu_fft.policy(self.precision, self.gauss)
 
     @property
     def complex_grid(self) -> GridDescriptor:
@@ -161,7 +175,7 @@ class DistributedFFT:
         """Physical X-pencil -> spectral Z-pencil."""
         cgrid = self.complex_grid
         stages = self._stages()
-        with trace_range("cudecomp_tpu.fft3d_forward"):
+        with self._policy(), trace_range("cudecomp_tpu.fft3d_forward"):
             first_fft = True
             for kind, a, *rest in stages:
                 if kind == "fft":
@@ -180,7 +194,7 @@ class DistributedFFT:
         """Spectral Z-pencil -> physical X-pencil."""
         cgrid = self.complex_grid
         stages = self._stages()
-        with trace_range("cudecomp_tpu.fft3d_inverse"):
+        with self._policy(), trace_range("cudecomp_tpu.fft3d_inverse"):
             x = xh
             rev = list(reversed(stages))
             last_fft_idx = max(i for i, s in enumerate(rev) if s[0] == "fft")
@@ -217,7 +231,7 @@ class DistributedFFT:
         self._require_planes()
         from cudecomp_tpu.ops import mxu_fft
         cgrid = self.complex_grid
-        with trace_range("cudecomp_tpu.fft3d_forward"):
+        with self._policy(), trace_range("cudecomp_tpu.fft3d_forward"):
             first_fft = True
             planes = x if not self.real else None
             for kind, a, *rest in self._stages():
@@ -247,7 +261,7 @@ class DistributedFFT:
         self._require_planes()
         from cudecomp_tpu.ops import mxu_fft
         cgrid = self.complex_grid
-        with trace_range("cudecomp_tpu.fft3d_inverse"):
+        with self._policy(), trace_range("cudecomp_tpu.fft3d_inverse"):
             rev = list(reversed(self._stages()))
             last_fft_idx = max(i for i, s in enumerate(rev) if s[0] == "fft")
             for i, (kind, a, *rest) in enumerate(rev):
@@ -313,3 +327,120 @@ def ifft3d(grid, xh, real: bool = False, split_complex: bool = False):
     """One-shot inverse distributed FFT."""
     return DistributedFFT(grid=grid, real=real,
                           split_complex=split_complex).inverse(xh)
+
+
+# -- FFT plan autotuning ------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FFTTrialRecord:
+    precision: str
+    gauss: bool
+    err: float
+    gate_passed: bool
+    times_s: tuple
+    avg_s: float
+
+
+@dataclasses.dataclass
+class FFTAutotuneResult:
+    plan: "DistributedFFT"
+    trials: list
+    best_time_s: float
+
+    def report(self) -> str:
+        lines = ["CUDECOMP_TPU: FFT plan autotune (avg s | gate):"]
+        for t in self.trials:
+            status = (f"{t.avg_s:.6f} | err {t.err:.2e} "
+                      f"{'PASS' if t.gate_passed else 'FAIL'}")
+            lines.append(f"  precision={t.precision:8s} "
+                         f"gauss={int(t.gauss)} {status}")
+        lines.append(f"  -> selected precision={self.plan.precision} "
+                     f"gauss={self.plan.gauss} ({self.best_time_s:.6f} s)")
+        return "\n".join(lines)
+
+
+def autotune_fft(grid, real: bool = False, *, candidates=None,
+                 gate: float = 5e-4, n_warmup: int = 2, n_trials: int = 3,
+                 iters: int = 8, seed: int = 0) -> FFTAutotuneResult:
+    """Plan-time FFT policy search — the planner analog of the grid
+    autotuner, productizing the gate-then-pick protocol ``bench.py`` runs
+    by hand.
+
+    For each candidate ``(precision, gauss)`` policy the plane-carried
+    forward+inverse cycle is (a) gate-checked: one round trip on
+    standard-normal data must return within ``gate`` max abs error — the
+    reference benchmark's single-precision tolerance
+    (``benchmark.cu:23-27``); (b) timed with the forced-completion scanned
+    protocol.  The fastest gate-passing policy is pinned into the returned
+    plan.  Trial times are cross-host reduced, so every process of a
+    multi-controller deployment selects the same policy.
+
+    Default candidates: ``("high", True)`` (bf16x3 + Gauss — the fast
+    policy wherever its error fits the gate) and ``("highest", True)``
+    (full-f32 — always gate-safe for f32 data).
+    """
+    import numpy as np
+    from cudecomp_tpu import performance as perf
+    from cudecomp_tpu.autotune import _allreduce_trials
+
+    if candidates is None:
+        candidates = (("high", True), ("highest", True))
+
+    shape = grid.global_shape(0)
+    key = jax.random.PRNGKey(seed)
+    if real:
+        x = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32),
+                    out_shardings=grid.sharding(0))(key)
+        data = x
+    else:
+        ks = jax.random.split(key)
+        mk = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32),
+                     out_shardings=grid.sharding(0))
+        data = (mk(ks[0]), mk(ks[1]))
+
+    trials = []
+    best = None  # (avg, plan)
+    for prec, gauss in candidates:
+        plan = DistributedFFT(grid=grid, real=real, split_complex=True,
+                              precision=prec, gauss=gauss)
+
+        def cycle(v, plan=plan):
+            return plan.inverse_planes(plan.forward_planes(v))
+
+        def gate_fn(v, plan=plan):
+            out = cycle(v, plan)
+            if real:
+                return jnp.max(jnp.abs(out - v))
+            return jnp.maximum(jnp.max(jnp.abs(out[0] - v[0])),
+                               jnp.max(jnp.abs(out[1] - v[1])))
+
+        try:
+            err = float(jax.jit(gate_fn)(data))
+            passed = bool(err < gate)
+            if passed:
+                times = _allreduce_trials(perf.time_scanned(
+                    cycle, data, iters=iters, n_warmup=n_warmup,
+                    n_trials=n_trials))
+            else:
+                times = ()
+        except Exception:
+            # a candidate that fails to compile/run must not abort the
+            # search (the grid autotuner's candidate-skip rule)
+            trials.append(FFTTrialRecord(prec, gauss, float("inf"), False,
+                                         (), float("inf")))
+            continue
+        avg = float(np.mean(times)) if times else float("inf")
+        trials.append(FFTTrialRecord(prec, gauss, err, passed,
+                                     tuple(times), avg))
+        if passed and (best is None or avg < best[0]):
+            best = (avg, plan)
+
+    if best is None:
+        raise RuntimeError(
+            "autotune_fft: no candidate policy passed the "
+            f"{gate:g} round-trip gate: "
+            + "; ".join(f"({t.precision},gauss={int(t.gauss)}) err={t.err:g}"
+                        for t in trials))
+    return FFTAutotuneResult(plan=best[1], trials=trials,
+                             best_time_s=best[0])

@@ -32,6 +32,8 @@ vendor FFT", built from scratch.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 import os
 from functools import lru_cache, partial
@@ -89,14 +91,17 @@ def _precision(n: int = None):
         failing the gate;
       * unset — HIGHEST (full-f32 parity with cuFFT accuracy).
     """
-    env = os.environ.get("CUDECOMP_TPU_FFT_PRECISION", "").lower()
-    if env == "default":
+    ov = _POLICY.get()
+    val = (ov or {}).get("precision") or os.environ.get(
+        "CUDECOMP_TPU_FFT_PRECISION", "")
+    val = val.lower()
+    if val == "default":
         return lax.Precision.DEFAULT
-    if env == "high":
+    if val == "high":
         return lax.Precision.HIGH
-    if env == "highest":
+    if val == "highest":
         return lax.Precision.HIGHEST
-    if env == "auto":
+    if val == "auto":
         if n is not None and n <= _auto_threshold():
             return lax.Precision.HIGH
         return lax.Precision.HIGHEST
@@ -104,6 +109,25 @@ def _precision(n: int = None):
 
 
 _PREC = None  # resolved per call via _precision(); kept for monkeypatching
+
+# trace-time policy override (plan-level knobs beat the env knobs); a
+# ContextVar so nested traces and threads compose correctly
+_POLICY = contextvars.ContextVar("cudecomp_tpu_fft_policy", default=None)
+
+
+@contextlib.contextmanager
+def policy(precision: str = None, gauss: bool = None):
+    """Override the FFT policy for everything traced inside the block.
+
+    ``precision`` in {"default", "high", "highest", "auto"}; ``gauss``
+    toggles the 3-matmul complex multiply.  ``None`` fields defer to the
+    env knobs.  This is how :class:`~cudecomp_tpu.ops.fft.DistributedFFT`
+    pins a per-plan policy (the planner analog of cuFFT plan attributes)."""
+    tok = _POLICY.set({"precision": precision, "gauss": gauss})
+    try:
+        yield
+    finally:
+        _POLICY.reset(tok)
 
 
 def _factor_overrides():
@@ -167,7 +191,11 @@ def _use_gauss() -> bool:
     """Gauss/Karatsuba complex multiply: 3 real matmuls instead of 4 (25%
     fewer MXU flops, a few extra VPU adds).  Default ON — measured 524 vs
     423 GFLOPS at 256^3 on v5e with the round-trip gate passing
-    (BENCH_NOTES.md r2).  Env: CUDECOMP_TPU_FFT_GAUSS=0 restores 4 matmuls."""
+    (BENCH_NOTES.md r2).  Env: CUDECOMP_TPU_FFT_GAUSS=0 restores 4 matmuls;
+    a :func:`policy` override beats the env."""
+    ov = _POLICY.get()
+    if ov and ov.get("gauss") is not None:
+        return bool(ov["gauss"])
     return os.environ.get("CUDECOMP_TPU_FFT_GAUSS", "1") == "1"
 
 

@@ -247,3 +247,66 @@ def test_plane_form_requires_split_complex():
     plan = DistributedFFT(grid=grid)
     with pytest.raises(ValueError, match="split_complex"):
         plan.forward_planes((jnp.zeros((8, 8, 8)),) * 2)
+
+
+def test_autotune_fft_planner():
+    # the planner analog of the grid autotuner: gate-check + time each
+    # (precision, gauss) policy, pin the fastest passing one into the plan
+    import cudecomp_tpu as cd
+
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(1, 1))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+    res = cd.autotune_fft(grid, n_warmup=1, n_trials=1, iters=2)
+    assert res.plan.precision in ("high", "highest")
+    assert res.plan.split_complex
+    assert any(t.gate_passed for t in res.trials)
+    assert "selected" in res.report()
+    # the pinned plan round-trips correctly
+    import numpy as np
+    f = np.random.default_rng(0).standard_normal((16, 16, 16)).astype(np.float32)
+    r = cd.scatter_global(grid, f, 0)
+    i = cd.scatter_global(grid, np.zeros_like(f), 0)
+    rr, ii = res.plan.inverse_planes(res.plan.forward_planes((r, i)))
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, rr, 0)), f,
+                               atol=5e-4)
+
+    # r2c variant
+    res2 = cd.autotune_fft(grid, real=True, n_warmup=1, n_trials=1, iters=2)
+    out = res2.plan.inverse_planes(res2.plan.forward_planes(r))
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, out, 0)), f,
+                               atol=5e-4)
+
+
+def test_autotune_fft_gate_failure():
+    import cudecomp_tpu as cd
+
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(1, 1))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+    with pytest.raises(RuntimeError, match="gate"):
+        cd.autotune_fft(grid, gate=1e-30, n_warmup=1, n_trials=1, iters=2)
+
+
+def test_plan_policy_pinning(monkeypatch):
+    # per-plan precision/gauss beat the env knobs at trace time
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.ops import mxu_fft
+
+    cfg = GridConfig(gdims=(8, 8, 8), pdims=(1, 1))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+    seen = []
+    orig = mxu_fft._precision
+
+    def spy(n=None):
+        p = orig(n)
+        seen.append(p)
+        return p
+
+    monkeypatch.setattr(mxu_fft, "_precision", spy)
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_PRECISION", "highest")
+    plan = cd.DistributedFFT(grid=grid, split_complex=True, precision="high")
+    import numpy as np
+    r = cd.scatter_global(grid, np.ones((8, 8, 8), np.float32), 0)
+    plan.forward_planes((r, r))
+    import jax.lax as lax
+    assert lax.Precision.HIGH in seen
+    assert lax.Precision.HIGHEST not in seen
