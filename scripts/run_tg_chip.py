@@ -4,6 +4,12 @@ Runs a few RK steps of the spectral Navier-Stokes solver end-to-end on the
 TPU and reports energy/enstrophy (sanity: energy decays monotonically for
 TG at Re=100).
 
+Keep N <= 192 on this runtime: 256^3 nonlinear-step programs are
+deterministically mis-executed by the axon server (one velocity
+component halved in a single step — BENCH_NOTES.md r3 "third
+runtime-corruption instance"); the solver is verified correct for the
+same programs on CPU meshes and at 128/192^3 on the chip.
+
     python scripts/run_tg_chip.py [N] [steps]
 """
 

@@ -126,7 +126,8 @@ def test_taylor_green_matches_numpy_reference(pdims):
     gd = (16, 16, 16)
     nu, dt, n_steps = 0.01, 0.01, 3
     grid = make_grid_for(gd, pdims)
-    solver = TaylorGreenSolver(grid=grid, nu=nu)
+    # explicit RK4: the scheme the numpy reference implements
+    solver = TaylorGreenSolver(grid=grid, nu=nu, integrating_factor=False)
     _, history = solver.run(n_steps, dt)
     ref = _numpy_tg_reference(gd, nu, dt, n_steps)
     np.testing.assert_allclose(history, ref, rtol=1e-10)
@@ -215,3 +216,30 @@ def test_taylor_green_checkpoint_restart_cross_grid(tmp_path):
         uh3 = s2.step(uh3, f2, dt)
     got = float(s2.energy(uh3, f2))
     assert abs(got - want) / want < 1e-10
+
+
+def test_taylor_green_integrating_factor_matches_explicit():
+    # IF-RK4 integrates the viscous term exactly; at small dt it must agree
+    # with the explicit scheme to high order, while at the viscous
+    # stability limit only IF survives (chip evidence: 256^3 dt=0.01
+    # diverges explicit, decays with IF — BENCH_NOTES.md r3)
+    gd = (16, 16, 16)
+    grid = make_grid_for(gd, (2, 2))
+    nu, dt, n_steps = 0.01, 0.002, 4
+    _, h_exp = TaylorGreenSolver(grid=grid, nu=nu,
+                                 integrating_factor=False).run(n_steps, dt)
+    _, h_if = TaylorGreenSolver(grid=grid, nu=nu).run(n_steps, dt)
+    np.testing.assert_allclose(h_if, h_exp, rtol=1e-8)
+    assert all(b < a for a, b in zip(h_if, h_if[1:]))
+
+
+def test_taylor_green_cfl_dt():
+    # reference get_dt analog (tg.cu:759-772): cfl * dx / velmax; the TG
+    # initial field has max |u| = 1
+    gd = (16, 16, 16)
+    grid = make_grid_for(gd, (1, 4))
+    solver = TaylorGreenSolver(grid=grid, nu=0.01)
+    uh, f = solver.setup()
+    dt = float(solver.cfl_dt(uh, f, cfl=0.5))
+    dx = 2.0 * np.pi / 16
+    np.testing.assert_allclose(dt, 0.5 * dx, rtol=1e-5)
