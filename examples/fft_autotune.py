@@ -46,6 +46,11 @@ def main():
     gflops = 5 * n**3 * math.log2(n**3) / dt / 1e9
     print(f"one direction: {dt*1e3:.2f} ms  ({gflops:.1f} GFLOPS)")
 
+    # plan-level policy autotuning: gate-check + time each (precision,
+    # gauss) MXU policy and pin the fastest passing one into the plan
+    res = cd.autotune_fft(grid, n_warmup=1, n_trials=2, iters=4)
+    print(res.report())
+
 
 if __name__ == "__main__":
     main()
