@@ -93,6 +93,21 @@ rows = perf.REGISTRY.rows(cross_host=True)
 assert rows and all("avg_ms" in r for r in rows), rows
 perf.REGISTRY.enabled = False
 
+# 6. FFT plan autotuning across the cluster: the _allreduce_trials
+#    reduction inside autotune_fft must make every process pin the SAME
+#    policy (collective: both processes sweep the same candidates)
+res = cd.autotune_fft(grid, real=True, n_warmup=1, n_trials=1, iters=2)
+pol = (res.plan.precision, res.plan.gauss)
+print(f"FFT_POLICY {pol[0]} {int(pol[1])}", flush=True)
+
+# 7. halo-driven grid selection with real cross-process halo exchanges
+from cudecomp_tpu.autotune import autotune
+opts = cd.AutotuneOptions(n_warmup=1, n_trials=1, grid_mode="halo",
+                          halo_extents=(1, 1, 1))
+res2 = autotune(GridConfig(gdims=(8, 8, 8), pdims=(0, 0)), options=opts)
+print(f"HALO_GRID {res2.best_pdims[0]}x{res2.best_pdims[1]} "
+      f"{res2.best_halo_method.value}", flush=True)
+
 print("MULTIHOST_OK", flush=True)
 '''
 
@@ -149,3 +164,10 @@ def test_two_process_cpu_cluster(tmp_path):
         raise AssertionError(f"worker failed:\n{joined[-4000:]}")
     for out in outs:
         assert "MULTIHOST_OK" in out, out[-4000:]
+    # cross-host determinism: both processes pinned the same FFT policy
+    # and selected the same halo-driven grid
+    import re
+    policies = {re.search(r"FFT_POLICY (\S+ \d)", o).group(1) for o in outs}
+    assert len(policies) == 1, policies
+    grids = {re.search(r"HALO_GRID (\S+ \S+)", o).group(1) for o in outs}
+    assert len(grids) == 1, grids
