@@ -372,3 +372,31 @@ def test_pallas_cyclic_permute_tile_picker():
     assert _pick_tile(16) == 16       # small extent: whole-dim block
     assert _pick_tile(48) == 48
     assert _pick_tile(1021) == 0      # prime > cap: no legal tile
+
+
+def test_engine_local_permute_bf16(monkeypatch):
+    # bf16 pencils through the mixed/Pallas path (interpret on CPU) are
+    # bit-exact vs XLA (also verified on real TPU, BENCH_NOTES.md r3)
+    import numpy as np
+    import jax.numpy as jnp
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+
+    gd = (16, 16, 32)
+    f = jnp.asarray(np.random.default_rng(0).standard_normal(gd),
+                    jnp.bfloat16)
+    outs = {}
+    for impl in ("xla", "mixed"):
+        monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", impl)
+        monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+        cfg = GridConfig(gdims=gd, pdims=(1, 1),
+                         transpose_axis_contiguous=(True, True, True))
+        grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+        x = cd.scatter_global(grid, f, 0)
+        z = cd.transpose_y_to_z(grid, cd.transpose_x_to_y(grid, x))
+        back = cd.transpose_y_to_x(grid, cd.transpose_z_to_y(grid, z))
+        back = cd.gather_global(grid, back, 0)
+        outs[impl] = np.asarray(jax.device_get(back).astype(jnp.float32))
+        np.testing.assert_array_equal(
+            outs[impl], np.asarray(f.astype(jnp.float32)))
+    np.testing.assert_array_equal(outs["mixed"], outs["xla"])
