@@ -304,6 +304,21 @@ def _pick_tile(m: int, cap: int = 512) -> int:
     return m if m <= cap else 0
 
 
+def cyclic_permute_uses_kernel(shape, perm) -> bool:
+    """Would :func:`pallas_cyclic_permute` run the Pallas kernel for this
+    (3D shape, perm) — i.e. NOT take its jnp.transpose fallback?  Shared
+    with ``performance.segment_roundtrip``, whose chained single-chip
+    measurement is only fold-proof when the chain really contains opaque
+    kernel calls (at e.g. 768^3 the tile/grid caps force the fallback and
+    the identity chain would fold to nothing)."""
+    if len(shape) != 3 or tuple(perm) not in ((1, 2, 0), (2, 0, 1)):
+        return False
+    I, J, K = shape
+    M, N = (I, J * K) if tuple(perm) == (1, 2, 0) else (I * J, K)
+    tm, tn = _pick_tile(M), _pick_tile(N)
+    return bool(tm and tn and (M // tm) * (N // tn) <= 1024)
+
+
 def pallas_cyclic_permute(x, perm, interpret=None, force=None):
     """Cyclic 3D permutation via the tiled 2D-transpose kernel.
 
@@ -338,18 +353,16 @@ def pallas_cyclic_permute(x, perm, interpret=None, force=None):
         # engine validated the MESH platform, but in interpret-off CPU
         # processes the lowering would still be Mosaic-less — stay safe
         return jnp.transpose(x, perm)
+    if not cyclic_permute_uses_kernel(x.shape, perm):
+        return jnp.transpose(x, perm)
     I, J, K = x.shape
     if tuple(perm) == (1, 2, 0):
         M, N = I, J * K
         reshape_out = (J, K, I)
-    elif tuple(perm) == (2, 0, 1):
+    else:
         M, N = I * J, K
         reshape_out = (K, I, J)
-    else:
-        return jnp.transpose(x, perm)
     tm, tn = _pick_tile(M), _pick_tile(N)
-    if not tm or not tn or (M // tm) * (N // tn) > 1024:
-        return jnp.transpose(x, perm)
     out = pallas_transpose2d(x.reshape(M, N), tm, tn, interpret=interpret)
     return out.reshape(reshape_out)
 

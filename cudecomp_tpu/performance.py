@@ -303,17 +303,31 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
                     == grid.global_shape(2))
     from cudecomp_tpu.ops.transpose import (_local_permute_impl, _net_perm,
                                             _MIXED_PALLAS_OPS)
+    from cudecomp_tpu.ops.pallas_kernels import cyclic_permute_uses_kernel
     impl = _local_permute_impl(grid)
     cyclic = ((1, 2, 0), (2, 0, 1))
     cycle_ops = ((0, +1), (1, +1), (2, -1), (1, -1))
+
+    def op_runs_kernel(a, d):
+        # mirrors the engine's dispatch INCLUDING the kernel's own
+        # tile/grid-cap fallback (at 768^3 the kernel declines and a
+        # "chained" identity cycle would fold to nothing)
+        if impl == "xla":
+            return False
+        if impl == "mixed" and (a, d) not in _MIXED_PALLAS_OPS:
+            return False
+        net = _net_perm(cfg, a, d)
+        in_order = cfg.mem_order(a)
+        ms_in = geometry.max_splits(cfg, a)
+        shape = tuple(ms_in[in_order[i]] for i in range(3))
+        return cyclic_permute_uses_kernel(shape, net)
+
     # the chain is fold-proof iff every op is a non-trivial cyclic permute
-    # and at least one of them lowers to an opaque Pallas call
+    # and at least one of them really lowers to an opaque Pallas call
     opaque_chain = (
         all(_net_perm(cfg, a, d) in cyclic for a, d in cycle_ops)
         and not np.issubdtype(np.dtype(dtype), np.complexfloating)
-        and (impl == "pallas"
-             or (impl == "mixed"
-                 and any((a, d) in _MIXED_PALLAS_OPS for a, d in cycle_ops))))
+        and any(op_runs_kernel(a, d) for a, d in cycle_ops))
     if cfg.pdims == (1, 1) and shapes_match and opaque_chain:
         # With Pallas local permutes in the chain (opaque custom calls)
         # XLA cannot fold the identity composition, so the chained cycle

@@ -400,3 +400,19 @@ def test_engine_local_permute_bf16(monkeypatch):
         np.testing.assert_array_equal(
             outs[impl], np.asarray(f.astype(jnp.float32)))
     np.testing.assert_array_equal(outs["mixed"], outs["xla"])
+
+
+def test_cyclic_permute_kernel_eligibility():
+    from cudecomp_tpu.ops.pallas_kernels import cyclic_permute_uses_kernel
+
+    assert cyclic_permute_uses_kernel((512, 512, 512), (1, 2, 0))
+    assert cyclic_permute_uses_kernel((512, 512, 512), (2, 0, 1))
+    assert cyclic_permute_uses_kernel((16, 24, 32), (1, 2, 0))
+    # 768^3: legal tiles exist but the block-grid cap (Mosaic remote
+    # compiler hangs on multi-thousand-block grids) forces the fallback
+    assert not cyclic_permute_uses_kernel((768, 768, 768), (1, 2, 0))
+    # no 128-multiple tile divides a large prime extent
+    assert not cyclic_permute_uses_kernel((1021, 1021, 1021), (1, 2, 0))
+    # non-cyclic perms never use the kernel
+    assert not cyclic_permute_uses_kernel((512, 512, 512), (0, 2, 1))
+    assert not cyclic_permute_uses_kernel((512, 512), (1, 0))
