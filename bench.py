@@ -35,12 +35,10 @@ def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
 
+    from bench_full import default_pdims
     devices = jax.devices()
     n_dev = len(devices)
-    pr = int(math.isqrt(n_dev))
-    while n_dev % pr:
-        pr -= 1
-    pdims = (pr, n_dev // pr)
+    pdims = default_pdims(n_dev)
 
     # Natural layout by default: the in-place MXU FFT contracts any axis
     # without permutes, so on a single chip the whole 3D FFT is matmuls

@@ -28,6 +28,14 @@ def _time_scanned_local(fn, x, iters, n_trials):
                                  n_trials=n_trials))
 
 
+def default_pdims(n_dev: int):
+    """Squarest factor pair (pr, pc) of the device count."""
+    pr = int(math.isqrt(n_dev))
+    while n_dev % pr:
+        pr -= 1
+    return pr, n_dev // pr
+
+
 def fft_r2c(N=256, ITERS=10, n_trials=3):
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
@@ -35,10 +43,7 @@ def fft_r2c(N=256, ITERS=10, n_trials=3):
 
     devices = jax.devices()
     n_dev = len(devices)
-    pr = int(math.isqrt(n_dev))
-    while n_dev % pr:
-        pr -= 1
-    cfg = GridConfig(gdims=(N, N, N), pdims=(pr, n_dev // pr))
+    cfg = GridConfig(gdims=(N, N, N), pdims=default_pdims(n_dev))
     grid = cd.make_grid(cfg, devices=devices)
     plan = DistributedFFT(grid=grid, real=True, split_complex=True)
 
@@ -81,10 +86,7 @@ def transpose_headline(N=512, n_trials=3, iters=32):
 
     devices = jax.devices()
     n_dev = len(devices)
-    pr = int(math.isqrt(n_dev))
-    while n_dev % pr:
-        pr -= 1
-    cfg = GridConfig(gdims=(N, N, N), pdims=(pr, n_dev // pr),
+    cfg = GridConfig(gdims=(N, N, N), pdims=default_pdims(n_dev),
                      transpose_axis_contiguous=(True, True, True))
     grid = cd.make_grid(cfg, devices=devices)
     seg = perf.segment_roundtrip(grid, np.float32, iters=iters,
@@ -112,10 +114,7 @@ def halo_headline(N=512, width=1, ITERS=32, n_trials=3):
 
     devices = jax.devices()
     n_dev = len(devices)
-    pr = int(math.isqrt(n_dev))
-    while n_dev % pr:
-        pr -= 1
-    cfg = GridConfig(gdims=(N, N, N), pdims=(pr, n_dev // pr))
+    cfg = GridConfig(gdims=(N, N, N), pdims=default_pdims(n_dev))
     grid = cd.make_grid(cfg, devices=devices)
     he = (width, width, width)
     periodic = (True, True, True)

@@ -198,7 +198,8 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
     cfg = grid.config
     op_kwargs = op_kwargs or ({}, {}, {}, {})
     in_he0 = op_kwargs[0].get("input_halo_extents", (0, 0, 0))
-    shape = (geometry.global_buffer_shape(cfg, 0, in_he0)
+    in_pad0 = op_kwargs[0].get("input_padding", (0, 0, 0))
+    shape = (geometry.global_buffer_shape(cfg, 0, in_he0, in_pad0)
              + (2,) * n_components)
     x = jax.device_put(np.zeros(shape, dtype=np.dtype(dtype)),
                        grid.sharding(0))
@@ -281,7 +282,12 @@ def _halo_method_candidates(options: AutotuneOptions, devices):
 
 def _trial_op_kwargs(options: AutotuneOptions):
     """Per-op transpose trial payload kwargs (the halo/padding arguments
-    the application will use in production — cudecomp.h:195-208)."""
+    the application will use in production — cudecomp.h:195-208).
+
+    The trial runs the 4 ops as a chained (and scanned) cycle
+    X2Y;Y2Z;Z2Y;Y2X, so op k's output payload must equal op k+1's input
+    payload and the cycle must close — validated here with a clear error
+    instead of every candidate failing its shape check."""
     out = [{}, {}, {}, {}]
     for name, val in (
             ("input_halo_extents", options.transpose_input_halo_extents),
@@ -291,6 +297,18 @@ def _trial_op_kwargs(options: AutotuneOptions):
         if val is not None:
             for i in range(4):
                 out[i][name] = val[i]
+    zero = (0, 0, 0)
+    for kind in ("halo_extents", "padding"):
+        for k in range(4):
+            o = out[k].get(f"output_{kind}", zero)
+            i = out[(k + 1) % 4].get(f"input_{kind}", zero)
+            if tuple(o) != tuple(i):
+                raise ValueError(
+                    f"autotune trial payloads do not chain: op {k}'s "
+                    f"output_{kind} {tuple(o)} != op {(k + 1) % 4}'s "
+                    f"input_{kind} {tuple(i)} (the trial cycle "
+                    f"X2Y;Y2Z;Z2Y;Y2X feeds each op's output to the next "
+                    f"op's input and wraps around)")
     return tuple(out)
 
 
@@ -343,11 +361,17 @@ def autotune(
             raise ValueError(
                 "grid_mode='halo' requires nonzero AutotuneOptions."
                 "halo_extents (the reference rejects this too)")
+        # with autotune_halo_method=False the grid is still chosen by halo
+        # timing, but only with the CONFIGURED halo method (an explicit
+        # config.halo_method must not be overridden)
+        halo_cands = (_halo_method_candidates(options, devices)
+                      if options.autotune_halo_method
+                      else [config.halo_method])
         for pdims in pdims_cands:
             mesh = build_mesh(pdims, devices=devices,
                               rank_order=config.rank_order,
                               axis_names=axis_names)
-            for hm in _halo_method_candidates(options, devices):
+            for hm in halo_cands:
                 cfg = dataclasses.replace(config.with_pdims(pdims),
                                           halo_method=hm)
                 grid = GridDescriptor(config=cfg, mesh=mesh,
@@ -402,6 +426,9 @@ def autotune(
         layouts = [config.transpose_axis_contiguous]
 
     weights = options.transpose_op_weights
+    # validate the per-op trial payload chain ONCE, outside the candidate
+    # loop (inside it a ValueError would be swallowed as candidate-skip)
+    trial_kwargs = _trial_op_kwargs(options)
     trials: List[TrialRecord] = []
     best = None  # (time, pdims, method, grid)
     first_error: Optional[Exception] = None
@@ -423,8 +450,7 @@ def autotune(
             try:
                 times, skipped = _time_roundtrip(
                     grid, dtype, weights, options.n_warmup, options.n_trials,
-                    threshold, n_components=n_comp,
-                    op_kwargs=_trial_op_kwargs(options))
+                    threshold, n_components=n_comp, op_kwargs=trial_kwargs)
             except Exception as e:
                 # candidate failed to compile/run (OOM analog) — skip it,
                 # like the reference's collective OOM fallback (autotune.cc:437-447)

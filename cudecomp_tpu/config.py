@@ -285,9 +285,13 @@ class AutotuneOptions:
             val = getattr(self, name)
             if val is None:
                 continue
-            val = tuple(_as_triple(v, f"{name}[i]") for v in val)
-            if len(val) != 4:
+            try:
+                n = len(val)
+            except TypeError:
+                n = -1
+            if n != 4:
                 raise ValueError(
                     f"{name} must give 4 per-op triples (X2Y, Y2Z, Z2Y, "
-                    f"Y2X), got {len(val)}")
+                    f"Y2X), got {val!r}")
+            val = tuple(_as_triple(v, f"{name}[i]") for v in val)
             object.__setattr__(self, name, val)

@@ -304,13 +304,24 @@ def _pick_tile(m: int, cap: int = 512) -> int:
     return m if m <= cap else 0
 
 
-def cyclic_permute_uses_kernel(shape, perm) -> bool:
+def _interpret_env() -> bool:
+    import os
+    return os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def cyclic_permute_uses_kernel(shape, perm, interpret=None) -> bool:
     """Would :func:`pallas_cyclic_permute` run the Pallas kernel for this
-    (3D shape, perm) — i.e. NOT take its jnp.transpose fallback?  Shared
-    with ``performance.segment_roundtrip``, whose chained single-chip
+    (3D shape, perm) — i.e. NOT take its jnp.transpose fallback?  ONE
+    predicate shared by the kernel dispatch itself and by
+    ``performance.segment_roundtrip``, whose chained single-chip
     measurement is only fold-proof when the chain really contains opaque
-    kernel calls (at e.g. 768^3 the tile/grid caps force the fallback and
-    the identity chain would fold to nothing)."""
+    kernel calls: the tile/grid caps decline at e.g. 768^3 or prime
+    extents, and interpret-off cpu/gpu processes have no Mosaic lowering
+    — in both cases the identity chain would fold to nothing."""
+    if interpret is None:
+        interpret = _interpret_env()
+    if not interpret and jax.default_backend() in ("cpu", "gpu"):
+        return False
     if len(shape) != 3 or tuple(perm) not in ((1, 2, 0), (2, 0, 1)):
         return False
     I, J, K = shape
@@ -333,27 +344,16 @@ def pallas_cyclic_permute(x, perm, interpret=None, force=None):
     658 GB/s).  It is the cuTENSOR-localPermute analog (transpose.h:80-157)
     for the engine's single-chip/slab hot path.
 
-    ``force=True`` skips the process-backend check (caller validated the
-    MESH platform — the process default may differ, e.g. a CPU test mesh in
-    a TPU-default process); ``force=False`` always falls back to XLA.
-    Tile choice keeps the Mosaic grid small (the remote compiler hangs on
-    multi-thousand-block transpose grids at 512^3).
+    ``force=False`` always falls back to XLA; otherwise the ONE shared
+    predicate :func:`cyclic_permute_uses_kernel` decides (backend,
+    interpret flag, tile/grid caps — the grid cap keeps the Mosaic block
+    count small, the remote compiler hangs past ~2000 blocks).
     """
     import jax.numpy as jnp
     if interpret is None:
-        import os
-        interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET",
-                                   "0") == "1"
-    if force is False or x.ndim != 3:
-        return jnp.transpose(x, perm)
-    if force is None and not interpret and jax.default_backend() in (
-            "cpu", "gpu"):
-        return jnp.transpose(x, perm)
-    if force and not interpret and jax.default_backend() in ("cpu", "gpu"):
-        # engine validated the MESH platform, but in interpret-off CPU
-        # processes the lowering would still be Mosaic-less — stay safe
-        return jnp.transpose(x, perm)
-    if not cyclic_permute_uses_kernel(x.shape, perm):
+        interpret = _interpret_env()
+    if force is False or not cyclic_permute_uses_kernel(
+            x.shape, perm, interpret=interpret):
         return jnp.transpose(x, perm)
     I, J, K = x.shape
     if tuple(perm) == (1, 2, 0):

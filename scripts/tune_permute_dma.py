@@ -54,7 +54,8 @@ def _pipeline(n_steps, get_in, put_out, compute):
         return ()
 
     lax.fori_loop(0, n_steps, loop, (), unroll=False)
-    put_out(n_steps % 2, n_steps - 2).wait()
+    if n_steps >= 2:  # static: drain the second-to-last slot's out-DMA
+        put_out(n_steps % 2, n_steps - 2).wait()
     put_out((n_steps - 1) % 2, n_steps - 1).wait()
 
 

@@ -293,3 +293,43 @@ def test_trial_op_payload_halos():
 def test_trial_op_payload_validation():
     with pytest.raises(ValueError, match="4 per-op"):
         cd.AutotuneOptions(transpose_input_halo_extents=((1, 1, 1),))
+
+
+def test_trial_op_payload_padding_and_chain_validation():
+    # review fix: padded trial payloads must work (buffer shape includes
+    # input padding), and a non-chaining payload set raises a clear error
+    # up front instead of skipping every candidate
+    he = ((1, 1, 1),) * 4
+    pads = ((1, 0, 0),) * 4
+    opts = cd.AutotuneOptions(n_warmup=1, n_trials=1,
+                              transpose_input_halo_extents=he,
+                              transpose_output_halo_extents=he,
+                              transpose_input_padding=pads,
+                              transpose_output_padding=pads)
+    cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(0, 0))
+    res = autotune(cfg, options=opts)
+    assert res.best_time_s > 0
+
+    bad = cd.AutotuneOptions(n_warmup=1, n_trials=1,
+                             transpose_input_halo_extents=((1, 1, 1),) * 4)
+    with pytest.raises(ValueError, match="do not chain"):
+        autotune(cfg, options=bad)
+
+
+def test_grid_mode_halo_respects_fixed_method():
+    # review fix: with autotune_halo_method=False the halo-driven grid
+    # sweep must use (and keep) the explicitly configured halo method
+    opts = cd.AutotuneOptions(n_warmup=1, n_trials=1, grid_mode="halo",
+                              halo_extents=(1, 1, 1))
+    cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(0, 0),
+                        halo_method=HaloMethod.PPERMUTE)
+    res = autotune(cfg, options=opts)
+    assert res.grid.config.halo_method == HaloMethod.PPERMUTE
+    assert {t.method for t in res.halo_trials} == {"ppermute"}
+
+
+def test_payload_options_validation_message():
+    # review fix: a single triple reports the helpful 4-per-op error, not
+    # a TypeError from element conversion
+    with pytest.raises(ValueError, match="4 per-op"):
+        cd.AutotuneOptions(transpose_input_halo_extents=(1, 1, 1))

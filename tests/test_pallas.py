@@ -405,14 +405,22 @@ def test_engine_local_permute_bf16(monkeypatch):
 def test_cyclic_permute_kernel_eligibility():
     from cudecomp_tpu.ops.pallas_kernels import cyclic_permute_uses_kernel
 
-    assert cyclic_permute_uses_kernel((512, 512, 512), (1, 2, 0))
-    assert cyclic_permute_uses_kernel((512, 512, 512), (2, 0, 1))
-    assert cyclic_permute_uses_kernel((16, 24, 32), (1, 2, 0))
+    # interpret=True isolates the shape logic (a cpu process without the
+    # interpret flag has no Mosaic lowering, so everything is False)
+    kern = lambda shape, perm: cyclic_permute_uses_kernel(shape, perm,
+                                                          interpret=True)
+    assert kern((512, 512, 512), (1, 2, 0))
+    assert kern((512, 512, 512), (2, 0, 1))
+    assert kern((16, 24, 32), (1, 2, 0))
     # 768^3: legal tiles exist but the block-grid cap (Mosaic remote
     # compiler hangs on multi-thousand-block grids) forces the fallback
-    assert not cyclic_permute_uses_kernel((768, 768, 768), (1, 2, 0))
+    assert not kern((768, 768, 768), (1, 2, 0))
     # no 128-multiple tile divides a large prime extent
-    assert not cyclic_permute_uses_kernel((1021, 1021, 1021), (1, 2, 0))
+    assert not kern((1021, 1021, 1021), (1, 2, 0))
     # non-cyclic perms never use the kernel
-    assert not cyclic_permute_uses_kernel((512, 512, 512), (0, 2, 1))
-    assert not cyclic_permute_uses_kernel((512, 512), (1, 0))
+    assert not kern((512, 512, 512), (0, 2, 1))
+    assert not kern((512, 512), (1, 0))
+    # backend fallback: interpret off + cpu default backend -> never
+    if jax.default_backend() in ("cpu", "gpu"):
+        assert not cyclic_permute_uses_kernel((512, 512, 512), (1, 2, 0),
+                                              interpret=False)

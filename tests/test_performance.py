@@ -169,3 +169,24 @@ def test_report_write_dir_env(tmp_path, monkeypatch):
     finally:
         REGISTRY.enabled = False
         REGISTRY.samples.clear()
+
+
+def test_segment_roundtrip_mixed_on_cpu_takes_per_op_branch(monkeypatch):
+    # review fix: CUDECOMP_TPU_LOCAL_PERMUTE=mixed WITHOUT interpret on a
+    # cpu backend means the kernel declines (no Mosaic lowering) and the
+    # chain would fold — the per-op pinned branch must be used, so the
+    # reported time matches the honest xla measurement, not a folded chain
+    from cudecomp_tpu import performance as perf
+
+    monkeypatch.delenv("CUDECOMP_TPU_PALLAS_INTERPRET", raising=False)
+    cfg = GridConfig(gdims=(32, 32, 32), pdims=(1, 1),
+                     transpose_axis_contiguous=(True, True, True))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+    monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", "mixed")
+    seg_mixed = perf.segment_roundtrip(grid, np.float32, iters=4,
+                                       n_warmup=1, n_trials=2, record=False)
+    monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", "xla")
+    seg_xla = perf.segment_roundtrip(grid, np.float32, iters=4,
+                                     n_warmup=1, n_trials=2, record=False)
+    # same branch, same program content: within a generous noise factor
+    assert seg_mixed["total_ms"] > 0.3 * seg_xla["total_ms"]
