@@ -212,7 +212,7 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
             # transposes (to global order, then to output order) compose
             # into ONE net permutation — dispatched to the one-pass Pallas
             # kernel on TPU meshes (see _local_permute_impl)
-            net = tuple(in_inv[o] for o in out_order) + comp_axes
+            net = _net_perm(cfg, ax, dir_) + comp_axes
             use_pallas = (permute_impl == "pallas"
                           or (permute_impl == "mixed"
                               and (ax, dir_) in _MIXED_PALLAS_OPS))
