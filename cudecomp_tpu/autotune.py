@@ -173,9 +173,12 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
     not a reliable barrier on this runtime (BENCH_NOTES.md).  With uniform
     weights one chained program is timed (the reference's ``at_results``
     round-trip semantics, autotune.cc:546-626); with non-uniform weights the
-    X<->Y and Y<->Z pairs are timed as separate chained programs, per-program
-    times reduced (min over trials) BEFORE differencing so dispatch noise in
-    one program cannot zero out the Y<->Z term of a single trial.
+    two production-adjacent chained pairs X2Y;Y2Z and Z2Y;Y2X are timed as
+    separate programs and scored with per-pair weights (w0+w1)/2 and
+    (w2+w3)/2 — the pair decomposition composes with per-op halo/padding
+    payloads (each pair's payloads chain exactly as in the production
+    cycle), unlike the reference's per-op event timings (autotune.cc:631-680)
+    which this approximates at pair granularity.
 
     When a skip threshold is given, ONE cheap probe (1 warmup + 1 trial on
     the SAME compiled executable the full protocol reuses — no extra
@@ -212,20 +215,13 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
         return tr.transpose_y_to_x(grid, b, method=m, **op_kwargs[3])
 
     uniform = len(set(weights)) == 1
-    if not uniform and any(op_kwargs):
-        # the pair-differencing shortcut chains X2Y straight into Y2X,
-        # which is not a production adjacency — with per-op halo/padding
-        # payloads the shapes need not chain, so score with the mean
-        # weight over the real round trip instead
-        uniform = True
-        weights = (float(np.mean(weights)),) * 4
     w_mean = float(np.mean(weights))
     rt_timer = perf.ScannedTimer(roundtrip, x, iters)
 
     warm_done = 0
     if skip_after_first_above is not None:
         probe = _allreduce_trials(rt_timer.time(n_warmup=1, n_trials=1))
-        score = (weights[0] if uniform else w_mean) * probe[0]
+        score = w_mean * probe[0]
         if score > skip_after_first_above:
             return [score], True
         warm_done = 2  # the probe's warmup + timed run already warmed it
@@ -236,20 +232,45 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
         ts = rt_timer.time(rt_warm, n_trials)
         times = [t * weights[0] for t in ts]
     else:
-        # pair-granular weighting: t_xy_pair = t_X2Y + t_Y2X,
-        # t_yz_pair = min(t_roundtrip) - min(t_xy_pair), derived once from
-        # the reduced times; per-trial variation comes from the xy program
-        def xy_pair(a):
-            return tr.transpose_y_to_x(grid, tr.transpose_x_to_y(
-                grid, a, method=m), method=m)
+        # pair-granular weighting: the two production-adjacent halves of
+        # the cycle are timed as separate chained programs.  The forward
+        # pair reuses the round trip's x-pencil input; the backward pair
+        # needs a z-pencil input carrying op 2's input payload (which the
+        # chain validation guarantees equals op 1's output payload).
+        # A pair does not return its own input shape, so the scanned carry
+        # is the INPUT pinned by the pair's completion scalar (carry' =
+        # carry + eps * scalar(pair(carry))): the data dependence forces
+        # the pair to execute every scan iteration.  The pin's
+        # reduction+add cost is identical across the method candidates
+        # being ranked (same buffer shapes), so it cancels in the argmin.
+        def pinned(pair_fn):
+            def it(a):
+                eps = jnp.asarray(1e-30, a.dtype)
+                return a + eps * perf.completion_scalar(
+                    pair_fn(a)).astype(a.dtype)
+            return it
 
-        t_xy = perf.time_scanned(xy_pair, x, iters=iters, n_warmup=n_warmup,
-                                 n_trials=n_trials)
-        t_rt = rt_timer.time(rt_warm, n_trials)
-        w_xy = (weights[0] + weights[3]) / 2.0
-        w_yz = (weights[1] + weights[2]) / 2.0
-        t_yz = max(min(t_rt) - min(t_xy), 0.0)
-        times = [w_xy * a + w_yz * t_yz for a in t_xy]
+        def fwd_pair(a):
+            b = tr.transpose_x_to_y(grid, a, method=m, **op_kwargs[0])
+            return tr.transpose_y_to_z(grid, b, method=m, **op_kwargs[1])
+
+        def bwd_pair(c):
+            b = tr.transpose_z_to_y(grid, c, method=m, **op_kwargs[2])
+            return tr.transpose_y_to_x(grid, b, method=m, **op_kwargs[3])
+
+        in_he2 = op_kwargs[2].get("input_halo_extents", (0, 0, 0))
+        in_pad2 = op_kwargs[2].get("input_padding", (0, 0, 0))
+        zshape = (geometry.global_buffer_shape(cfg, 2, in_he2, in_pad2)
+                  + (2,) * n_components)
+        z = jax.device_put(np.zeros(zshape, dtype=np.dtype(dtype)),
+                           grid.sharding(2))
+        t_fwd = perf.time_scanned(pinned(fwd_pair), x, iters=iters,
+                                  n_warmup=n_warmup, n_trials=n_trials)
+        t_bwd = perf.time_scanned(pinned(bwd_pair), z, iters=iters,
+                                  n_warmup=n_warmup, n_trials=n_trials)
+        w_fwd = (weights[0] + weights[1]) / 2.0
+        w_bwd = (weights[2] + weights[3]) / 2.0
+        times = [w_fwd * a + w_bwd * b for a, b in zip(t_fwd, t_bwd)]
     return _allreduce_trials(times), False
 
 

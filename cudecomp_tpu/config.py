@@ -221,7 +221,11 @@ class AutotuneOptions:
     Attributes:
       n_warmup / n_trials: per-candidate timing protocol
         (reference: ``src/autotune.cc:541-626`` uses 3 warmup + 5 trials).
-      transpose_op_weights: weights for (XToY, YToZ, ZToY, YToX) when scoring.
+      transpose_op_weights: weights for (XToY, YToZ, ZToY, YToX) when
+        scoring.  Non-uniform weights are honored at pair granularity —
+        the chained production pairs X2Y;Y2Z and Z2Y;Y2X are timed as
+        separate programs weighted (w0+w1)/2 and (w2+w3)/2 — and compose
+        with the per-op trial payloads below.
       autotune_transpose_method / autotune_halo_method: sweep the collective
         strategy in addition to pdims.
       skip_threshold: abandon a candidate early if its cheap probe (one

@@ -113,13 +113,20 @@ def update_halos(grid, arr, axis: int, halo_extents, halo_periods,
 def _write_halo_slabs(local, low, high, h, m, i_d):
     """Write the two received halo slabs into the buffer.
 
-    For the minor spatial dim (i_d == 2) a ``dynamic_update_slice``
-    lowers as a full buffer copy plus an element-strided slab write
-    (measured 2.1 + 1.3 ms per side at 512^3 width-1); a concatenate
-    along that dim is one contiguous materialization instead.  The major
-    dims' slab updates are contiguous and lower in place (~0.05 ms) —
-    keep the DUS form there."""
-    if i_d == 2:
+    For near-minor dims a ``dynamic_update_slice`` lowers as a full
+    buffer copy plus a short-run strided slab write (measured 2.1 +
+    1.3 ms per side at 512^3 width-1 on the minor spatial dim); a
+    concatenate along that dim is one contiguous materialization
+    instead.  Major dims' slab updates are contiguous and lower in
+    place (~0.05 ms) — keep the DUS form there.  The dispatch keys on
+    the write run length of a dim-``i_d`` slab (elements contiguous per
+    strided run: everything minor of ``i_d``, including trailing
+    component dims), not on ``i_d == 2``, so component-dim buffers pick
+    the right form too."""
+    run = 1
+    for extent in local.shape[i_d + 1:]:
+        run *= extent
+    if run * local.dtype.itemsize < 512:
         size = local.shape[i_d]
         parts = [low, lax.slice_in_dim(local, h, h + m, axis=i_d), high]
         if size > 2 * h + m:  # preserve trailing padding

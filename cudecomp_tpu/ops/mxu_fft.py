@@ -121,9 +121,15 @@ def policy(precision: str = None, gauss: bool = None):
 
     ``precision`` in {"default", "high", "highest", "auto"}; ``gauss``
     toggles the 3-matmul complex multiply.  ``None`` fields defer to the
-    env knobs.  This is how :class:`~cudecomp_tpu.ops.fft.DistributedFFT`
-    pins a per-plan policy (the planner analog of cuFFT plan attributes)."""
-    tok = _POLICY.set({"precision": precision, "gauss": gauss})
+    enclosing :func:`policy` context if any, else to the env knobs — nested
+    contexts compose (an inner ``policy(precision=...)`` inside a
+    ``policy(gauss=False)`` block keeps ``gauss=False``).  This is how
+    :class:`~cudecomp_tpu.ops.fft.DistributedFFT` pins a per-plan policy
+    (the planner analog of cuFFT plan attributes)."""
+    base = _POLICY.get() or {}
+    new = {"precision": precision, "gauss": gauss}
+    tok = _POLICY.set({**base, **{k: v for k, v in new.items()
+                                  if v is not None}})
     try:
         yield
     finally:

@@ -280,14 +280,57 @@ def test_trial_op_payload_halos():
     cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(0, 0))
     res = autotune(cfg, options=opts)
     assert res.best_pdims in {t.pdims for t in res.trials}
-    # non-uniform weights + payload halos: falls back to mean-weight
-    # chained scoring (the pair shortcut is not a production adjacency)
+    # non-uniform weights + payload halos: honored at pair granularity
+    # (chained X2Y;Y2Z and Z2Y;Y2X programs, weighted (w0+w1)/2 and
+    # (w2+w3)/2) — not collapsed to the mean
     opts2 = cd.AutotuneOptions(n_warmup=1, n_trials=2,
                                transpose_op_weights=(2.0, 1.0, 1.0, 2.0),
                                transpose_input_halo_extents=per_op,
                                transpose_output_halo_extents=per_op)
     res2 = autotune(cfg, options=opts2)
     assert res2.best_time_s > 0
+
+
+def test_nonuniform_weights_with_payloads_distinct_scores(monkeypatch):
+    # the per-pair decomposition must actually use the weights: with
+    # deterministic fake pair timings, different weight vectors score the
+    # same candidate differently (fwd pair weighted vs bwd pair weighted),
+    # payloads present the whole time
+    from cudecomp_tpu import autotune as at
+    from cudecomp_tpu import performance as perf
+
+    calls = []
+    real_time_scanned = perf.time_scanned
+
+    def fake_time_scanned(fn, x, iters=2, n_warmup=1, n_trials=1):
+        # the fwd pair sees the x-pencil input, the bwd pair the z-pencil
+        # one; tag by call order (fwd first) with fixed distinct times
+        calls.append(1)
+        return [0.1 if len(calls) % 2 == 1 else 0.3] * n_trials
+
+    monkeypatch.setattr(perf, "time_scanned", fake_time_scanned)
+
+    he = ((1, 1, 1),) * 4
+    cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(2, 4))
+
+    def score(weights):
+        calls.clear()
+        opts = cd.AutotuneOptions(
+            n_warmup=1, n_trials=1, transpose_op_weights=weights,
+            autotune_transpose_method=False,
+            transpose_input_halo_extents=he,
+            transpose_output_halo_extents=he)
+        res = autotune(cfg, options=opts)
+        assert len(calls) == 2  # one fwd-pair program + one bwd-pair program
+        return res.best_time_s
+
+    # fwd-heavy weights score 2*0.1? no: w_fwd=(4+4)/2=4 -> 4*0.1 + 1*0.3
+    s_fwd_heavy = score((4.0, 4.0, 1.0, 1.0))   # 4*0.1 + 1*0.3 = 0.7
+    s_bwd_heavy = score((1.0, 1.0, 4.0, 4.0))   # 1*0.1 + 4*0.3 = 1.3
+    assert abs(s_fwd_heavy - 0.7) < 1e-9
+    assert abs(s_bwd_heavy - 1.3) < 1e-9
+    assert s_fwd_heavy != s_bwd_heavy
+    del real_time_scanned
 
 
 def test_trial_op_payload_validation():

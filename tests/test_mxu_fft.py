@@ -230,3 +230,19 @@ def test_split_complex_jitted():
     rt = jax.jit(lambda b: plan.inverse(plan.forward(b)))(buf)
     np.testing.assert_allclose(np.asarray(jax.device_get(rt)),
                                np.asarray(jax.device_get(buf)), atol=1e-12)
+
+def test_policy_contexts_compose():
+    # nested policy() contexts merge with the enclosing context: an inner
+    # override that leaves a field None must inherit the outer value, not
+    # fall back to the env vars (advisor r3 finding)
+    from jax import lax
+    assert M._use_gauss() is True  # default
+    with M.policy(gauss=False):
+        assert M._use_gauss() is False
+        with M.policy(precision="high"):
+            assert M._use_gauss() is False  # inherited from outer context
+            assert M._precision(64) == lax.Precision.HIGH
+        # inner context popped: outer still in force
+        assert M._use_gauss() is False
+        assert M._precision(64) == lax.Precision.HIGHEST
+    assert M._use_gauss() is True
