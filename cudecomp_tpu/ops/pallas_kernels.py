@@ -35,23 +35,36 @@ except ImportError:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+def _flat_peer_index(mesh_axes, axis_name, peer_coord, coord_of):
+    """Flattened logical device id of the peer that differs from the
+    calling device only along ``axis_name``: mixed-radix accumulation over
+    all mesh axes in order (row-major, matching ``mesh.devices.flat``
+    order), with the comm axis contributing ``peer_coord`` and every other
+    axis the caller's own coordinate via ``coord_of(name)``.
+
+    Pure in its arguments — ``coord_of`` is ``lax.axis_index`` in-kernel
+    and a plain dict lookup in the addressing unit tests, so the exact
+    arithmetic the kernels execute on multi-axis hardware meshes is
+    verified against ``mesh.devices.flat`` indexing without any DMA
+    (tests/test_pallas.py::test_flat_peer_index_*)."""
+    idx = None
+    for name, size in mesh_axes:
+        coord = peer_coord if name == axis_name else coord_of(name)
+        idx = coord if idx is None else idx * size + coord
+    return idx
+
+
 def _peer_device_id(mesh_axes, axis_name, peer_coord):
     """Device-id kwargs addressing the peer that differs only along
-    ``axis_name``: ONE code path for every mesh rank — the flattened
-    logical device id is computed in-kernel by mixed-radix accumulation
-    over all mesh axes (row-major, matching ``mesh.devices.flat`` order),
-    with the comm axis contributing the peer coordinate and every other
-    axis the sender's own ``lax.axis_index``.
+    ``axis_name``: ONE code path for every mesh rank — see
+    :func:`_flat_peer_index`.
 
     On a single-axis mesh this degenerates to ``idx == peer_coord``, so the
     1D-mesh interpreter tests execute exactly the addressing arithmetic
     that multi-axis hardware meshes use (the TPU interpreter only
     discharges remote DMA on single-axis meshes; Mosaic translates LOGICAL
     ids through the launch's device assignment on any mesh)."""
-    idx = None
-    for name, size in mesh_axes:
-        coord = peer_coord if name == axis_name else lax.axis_index(name)
-        idx = coord if idx is None else idx * size + coord
+    idx = _flat_peer_index(mesh_axes, axis_name, peer_coord, lax.axis_index)
     return dict(device_id=idx, device_id_type=pltpu.DeviceIdType.LOGICAL)
 
 

@@ -424,3 +424,59 @@ def test_cyclic_permute_kernel_eligibility():
     if jax.default_backend() in ("cpu", "gpu"):
         assert not cyclic_permute_uses_kernel((512, 512, 512), (1, 2, 0),
                                               interpret=False)
+
+
+# ---------------------------------------------------------------------------
+# mixed-radix peer addressing (no DMA): the exact arithmetic the RDMA
+# kernels execute on multi-axis meshes, verified against mesh.devices.flat
+# indexing (NVSHMEM PE addressing analog, cudecomp_kernels.cuh:50-122)
+# ---------------------------------------------------------------------------
+
+import itertools
+
+from cudecomp_tpu.ops.pallas_kernels import _flat_peer_index
+
+
+@pytest.mark.parametrize("shape,axis_names", [
+    ((2, 4), ("pr", "pc")),
+    ((4, 2), ("pr", "pc")),
+    ((8,), ("x",)),
+    ((2, 2, 2), ("a", "b", "c")),
+])
+def test_flat_peer_index_matches_mesh_flat_order(shape, axis_names):
+    # build a REAL mesh over the CPU devices so mesh.devices.flat is the
+    # ground truth for JAX's flattened logical order
+    devs = np.array(jax.devices()[:int(np.prod(shape))]).reshape(shape)
+    mesh = Mesh(devs, axis_names)
+    mesh_axes = tuple((name, mesh.shape[name]) for name in mesh.axis_names)
+    flat = list(mesh.devices.flat)
+    for own in itertools.product(*(range(s) for s in shape)):
+        coord_of = dict(zip(axis_names, own)).__getitem__
+        for ax_i, comm_axis in enumerate(axis_names):
+            for peer in range(shape[ax_i]):
+                got = _flat_peer_index(mesh_axes, comm_axis, peer, coord_of)
+                # ground truth: position in mesh.devices.flat of the device
+                # whose coords equal `own` with the comm axis replaced
+                peer_coords = tuple(peer if j == ax_i else own[j]
+                                    for j in range(len(shape)))
+                want = flat.index(mesh.devices[peer_coords])
+                assert got == want, (own, comm_axis, peer)
+                # and equals C-order ravel (what Mosaic's LOGICAL device
+                # ids resolve through the launch's device assignment)
+                assert got == int(np.ravel_multi_index(peer_coords, shape))
+
+
+def test_flat_peer_index_targets_2x4_mesh():
+    # the concrete id each sender targets on a (2, 4) mesh, spelled out:
+    # sender (r, c) -> peer p along 'pc' is id r*4 + p; along 'pr' is p*4 + c
+    mesh_axes = (("pr", 2), ("pc", 4))
+    expected_pc = {(r, c): [r * 4 + p for p in range(4)]
+                   for r in range(2) for c in range(4)}
+    expected_pr = {(r, c): [p * 4 + c for p in range(2)]
+                   for r in range(2) for c in range(4)}
+    for (r, c) in expected_pc:
+        coord_of = {"pr": r, "pc": c}.__getitem__
+        assert [_flat_peer_index(mesh_axes, "pc", p, coord_of)
+                for p in range(4)] == expected_pc[(r, c)]
+        assert [_flat_peer_index(mesh_axes, "pr", p, coord_of)
+                for p in range(2)] == expected_pr[(r, c)]
