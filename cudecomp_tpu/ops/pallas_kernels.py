@@ -317,6 +317,50 @@ def _pick_tile(m: int, cap: int = 512) -> int:
     return m if m <= cap else 0
 
 
+# remote-Mosaic grid cap: the tunnel compiler returns HTTP 500 / hangs past
+# ~1024-2000 blocks (BENCH_NOTES.md); stay at <= 1024
+_GRID_CAP = 1024
+# per-block VMEM budget: Pallas double-buffers both operands, so usable
+# VMEM ~= 4x the input block; 4 MB blocks keep that at ~16 MB
+_TILE_BYTES_CAP = 4 * 1024 * 1024
+
+
+def _tile_options(m: int, max_tile: int):
+    """Mosaic-legal tiles for extent ``m``: multiples of 128 dividing it,
+    plus the full extent, bounded by ``max_tile``."""
+    opts = [t for t in range(128, min(m, max_tile), 128) if m % t == 0]
+    if m <= max_tile:
+        opts.append(m)
+    return opts
+
+
+def _plan_tiles(M: int, N: int, itemsize: int = 4):
+    """Tile plan for the (M, N) -> (N, M) transpose kernel, or None.
+
+    Preference order: the measured-optimal <=512 tiles when their grid fits
+    the remote-compiler block cap; otherwise the smallest legal tiles whose
+    grid fits — larger tiles trade Mosaic block count for VMEM, which is
+    what lets 768^3/1024^3 cyclic permutes (2304/4096 blocks at 512 tiles)
+    stay on the one-pass kernel instead of falling off to XLA's two-pass
+    permute (the localPermute huge-tensor chunking analog,
+    transpose.h:93-135)."""
+    tm, tn = _pick_tile(M), _pick_tile(N)
+    if tm and tn and (M // tm) * (N // tn) <= _GRID_CAP:
+        return tm, tn
+    best = None
+    max_tile = _TILE_BYTES_CAP // (128 * itemsize)  # partner tile >= 128
+    for cm in _tile_options(M, max_tile):
+        for cn in _tile_options(N, max_tile):
+            if (M // cm) * (N // cn) > _GRID_CAP:
+                continue
+            if cm * cn * itemsize > _TILE_BYTES_CAP:
+                continue
+            key = (cm * cn, (M // cm) * (N // cn), -min(cm, cn))
+            if best is None or key < best[0]:
+                best = (key, cm, cn)
+    return (best[1], best[2]) if best else None
+
+
 def _interpret_env() -> bool:
     import os
     return os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
@@ -339,8 +383,7 @@ def cyclic_permute_uses_kernel(shape, perm, interpret=None) -> bool:
         return False
     I, J, K = shape
     M, N = (I, J * K) if tuple(perm) == (1, 2, 0) else (I * J, K)
-    tm, tn = _pick_tile(M), _pick_tile(N)
-    return bool(tm and tn and (M // tm) * (N // tn) <= 1024)
+    return _plan_tiles(M, N) is not None
 
 
 def pallas_cyclic_permute(x, perm, interpret=None, force=None):
@@ -375,7 +418,7 @@ def pallas_cyclic_permute(x, perm, interpret=None, force=None):
     else:
         M, N = I * J, K
         reshape_out = (K, I, J)
-    tm, tn = _pick_tile(M), _pick_tile(N)
+    tm, tn = _plan_tiles(M, N)
     out = pallas_transpose2d(x.reshape(M, N), tm, tn, interpret=interpret)
     return out.reshape(reshape_out)
 

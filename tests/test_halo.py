@@ -122,3 +122,39 @@ def test_jittable():
     expected = T.expected_halo_buffer(grid, 0, x_global, he,
                                       (True, True, True), dims=[0, 1, 2])
     np.testing.assert_allclose(np.asarray(jax.device_get(out)), expected)
+
+
+@pytest.mark.parametrize("pdims", [(1, 1), (2, 2)])
+@pytest.mark.parametrize("periods", [(True, True, True),
+                                     (False, True, False)])
+def test_donated_matches_functional(pdims, periods):
+    # donate=True (the reference's in-place buffer semantics,
+    # halo.h:164-193) must produce bit-identical results to the
+    # functional path on single-chip self-copy AND exchange grids
+    gdims = (8, 8, 8)
+    he = (1, 2, 1)
+    cfg = GridConfig(gdims=gdims, pdims=pdims)
+    grid = cd.make_grid(cfg, devices=jax.devices()[: pdims[0] * pdims[1]])
+    x_global = T.global_index_field(gdims, dtype=np.float64)
+    buf = cd.scatter_global(grid, x_global, 0, halo_extents=he)
+    want = np.asarray(jax.device_get(
+        cd.update_halos(grid, buf, 0, he, periods)))
+    buf2 = cd.scatter_global(grid, x_global, 0, halo_extents=he)
+    got = np.asarray(jax.device_get(
+        cd.update_halos(grid, buf2, 0, he, periods, donate=True)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_donated_uneven_component_dims():
+    gdims = (9, 10, 11)
+    he = (1, 1, 1)
+    cfg = GridConfig(gdims=gdims, pdims=(2, 2))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:4])
+    x_global = T.global_index_field(gdims, dtype=np.float64)
+    buf = cd.scatter_global(grid, x_global, 0, halo_extents=he)
+    buf = jax.numpy.stack([buf, buf * 2.0], axis=-1)
+    want = np.asarray(jax.device_get(
+        cd.update_halos(grid, buf, 0, he, (True, True, True))))
+    got = np.asarray(jax.device_get(
+        cd.update_halos(grid, buf, 0, he, (True, True, True), donate=True)))
+    np.testing.assert_array_equal(got, want)

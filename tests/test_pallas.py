@@ -412,9 +412,11 @@ def test_cyclic_permute_kernel_eligibility():
     assert kern((512, 512, 512), (1, 2, 0))
     assert kern((512, 512, 512), (2, 0, 1))
     assert kern((16, 24, 32), (1, 2, 0))
-    # 768^3: legal tiles exist but the block-grid cap (Mosaic remote
-    # compiler hangs on multi-thousand-block grids) forces the fallback
-    assert not kern((768, 768, 768), (1, 2, 0))
+    # 768^3/1024^3: the tile planner grows tiles to keep the Mosaic block
+    # count under the remote-compiler grid cap (r4; was an XLA fallback)
+    assert kern((768, 768, 768), (1, 2, 0))
+    assert kern((768, 768, 768), (2, 0, 1))
+    assert kern((1024, 1024, 1024), (1, 2, 0))
     # no 128-multiple tile divides a large prime extent
     assert not kern((1021, 1021, 1021), (1, 2, 0))
     # non-cyclic perms never use the kernel
@@ -480,3 +482,14 @@ def test_flat_peer_index_targets_2x4_mesh():
                 for p in range(4)] == expected_pc[(r, c)]
         assert [_flat_peer_index(mesh_axes, "pr", p, coord_of)
                 for p in range(2)] == expected_pr[(r, c)]
+
+
+def test_transpose2d_nonsquare_tiles_interpret():
+    # the r4 tile planner emits non-square tiles (e.g. 384x1152 at 768^3);
+    # validate the kernel with an uneven tile pair in interpret mode
+    from cudecomp_tpu.ops.pallas_kernels import pallas_transpose2d
+    x = jnp.arange(256 * 1152, dtype=jnp.float32).reshape(256, 1152)
+    got = np.asarray(pallas_transpose2d(x, tm=256, tn=384, interpret=True))
+    np.testing.assert_array_equal(got, np.asarray(x).T)
+    got2 = np.asarray(pallas_transpose2d(x, tm=128, tn=1152, interpret=True))
+    np.testing.assert_array_equal(got2, np.asarray(x).T)
