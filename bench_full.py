@@ -36,7 +36,7 @@ def default_pdims(n_dev: int):
     return pr, n_dev // pr
 
 
-def fft_r2c(N=256, ITERS=10, n_trials=3):
+def fft_r2c(N=256, ITERS=10, n_trials=3, gate_only=False):
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
@@ -61,6 +61,8 @@ def fft_r2c(N=256, ITERS=10, n_trials=3):
     def gate(v):
         return jnp.max(jnp.abs(cycle(v) - v))
     err = float(gate(x))
+    if gate_only:
+        return err
     assert err < 5e-4, f"r2c round-trip max err {err}"
 
     t = _time_scanned_local(cycle, x, ITERS, n_trials) / 2.0
@@ -140,12 +142,21 @@ def main():
     results.append(bench.main(N=256))
     results.append(bench.main(N=512))
 
-    # r2c stays at 256^3: once any 768^3 workload has run through the
-    # axon tunnel SERVER, the 512^3 r2c program (either form) returns the
-    # deterministic corruption signature (max err 1.8852040767669678) in
-    # every subsequent client process — server-side runtime state, not
-    # library code (BENCH_NOTES.md r3 "corruption", verified 2026-08-16)
-    r = fft_r2c(N=256, ITERS=10)
+    # r2c at 512^3 when the server is clean: once any 768^3 workload has
+    # run through the axon tunnel SERVER, the 512^3 r2c program (either
+    # form) returns the deterministic corruption signature (max err
+    # 1.8852040767669678) in every subsequent client process until server
+    # restart (BENCH_NOTES.md r3 "corruption"; scripts/retry_corruption.py
+    # is the one-command probe).  Gate-check 512 first; on the corruption
+    # signature fall back to 256^3 and record the skip reason.
+    err512 = fft_r2c(N=512, ITERS=8, gate_only=True)
+    if err512 < 5e-4:
+        r = fft_r2c(N=512, ITERS=8)
+    else:
+        r = fft_r2c(N=256, ITERS=10)
+        r["r2c_512_skipped"] = (f"server-state corruption signature "
+                                f"(gate err {err512:.6g}); see "
+                                f"scripts/retry_corruption.py")
     print(json.dumps(r))
     results.append(r)
 
