@@ -297,6 +297,12 @@ def pallas_transpose2d(x, tm: int = 256, tn: int = 256, interpret=False):
         # spec, so both tile dims must satisfy the 128-lane rule
         return x.T
     grid = (M // tm, N // tn)
+    params = {}
+    if tm * tn * x.dtype.itemsize > 4 * 1024 * 1024:
+        # big-tile plans (1024^3 under the block cap) exceed Mosaic's
+        # default VMEM budget once double-buffered; raise the limit
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         _transpose2d_kernel,
         out_shape=jax.ShapeDtypeStruct((N, M), x.dtype),
@@ -304,6 +310,7 @@ def pallas_transpose2d(x, tm: int = 256, tn: int = 256, interpret=False):
         in_specs=[pl.BlockSpec((tm, tn), lambda i, j: (i, j))],
         out_specs=pl.BlockSpec((tn, tm), lambda i, j: (j, i)),
         interpret=interpret,
+        **params,
     )(x)
 
 
@@ -317,12 +324,16 @@ def _pick_tile(m: int, cap: int = 512) -> int:
     return m if m <= cap else 0
 
 
-# remote-Mosaic grid cap: the tunnel compiler returns HTTP 500 / hangs past
-# ~1024-2000 blocks (BENCH_NOTES.md); stay at <= 1024
-_GRID_CAP = 1024
+# remote-Mosaic grid cap: the tunnel compiler HANGS compiling 1024-block
+# grids (measured r4: a (384,1152)-tile 768^3 kernel = 1024 blocks never
+# finished compiling while the 768-block (768,768) variant compiled in
+# ~60 s); stay strictly below 1024
+_GRID_CAP = 896
 # per-block VMEM budget: Pallas double-buffers both operands, so usable
-# VMEM ~= 4x the input block; 4 MB blocks keep that at ~16 MB
-_TILE_BYTES_CAP = 4 * 1024 * 1024
+# VMEM ~= 4x the input block; blocks past 4 MB get an explicit raised
+# vmem limit in pallas_transpose2d (1024^3 needs 8 MB blocks to stay
+# under the grid cap)
+_TILE_BYTES_CAP = 8 * 1024 * 1024
 
 
 def _tile_options(m: int, max_tile: int):
@@ -343,22 +354,48 @@ def _plan_tiles(M: int, N: int, itemsize: int = 4):
     what lets 768^3/1024^3 cyclic permutes (2304/4096 blocks at 512 tiles)
     stay on the one-pass kernel instead of falling off to XLA's two-pass
     permute (the localPermute huge-tensor chunking analog,
-    transpose.h:93-135)."""
+    transpose.h:93-135).
+
+    ``CUDECOMP_TPU_PERMUTE_TILES=tmxtn`` forces a specific (legal) tile
+    pair — the measurement knob behind the committed preference order."""
+    import os
+    ov = os.environ.get("CUDECOMP_TPU_PERMUTE_TILES")
+    if ov:
+        try:
+            tm, tn = (int(v) for v in ov.lower().split("x"))
+        except ValueError:
+            from cudecomp_tpu.utils.env import log_warn
+            log_warn(f"ignoring malformed CUDECOMP_TPU_PERMUTE_TILES {ov!r}")
+        else:
+            if (M % tm == 0 and N % tn == 0
+                    and (tm % 128 == 0 or tm == M)
+                    and (tn % 128 == 0 or tn == N)):
+                return tm, tn
     tm, tn = _pick_tile(M), _pick_tile(N)
     if tm and tn and (M // tm) * (N // tn) <= _GRID_CAP:
         return tm, tn
-    best = None
     max_tile = _TILE_BYTES_CAP // (128 * itemsize)  # partner tile >= 128
-    for cm in _tile_options(M, max_tile):
-        for cn in _tile_options(N, max_tile):
-            if (M // cm) * (N // cn) > _GRID_CAP:
-                continue
-            if cm * cn * itemsize > _TILE_BYTES_CAP:
-                continue
-            key = (cm * cn, (M // cm) * (N // cn), -min(cm, cn))
-            if best is None or key < best[0]:
-                best = (key, cm, cn)
-    return (best[1], best[2]) if best else None
+    opts_m = _tile_options(M, max_tile)
+    opts_n = _tile_options(N, max_tile)
+    # two preference passes: square tiles first (the measured-good shapes —
+    # (512,512) at 512^3, (768,768) at 768^3 hold the one-pass rate;
+    # skewed aspects are unproven), then any legal pair
+    for square_only in (True, False):
+        best = None
+        for cm in opts_m:
+            for cn in opts_n:
+                if square_only and cm != cn:
+                    continue
+                if (M // cm) * (N // cn) > _GRID_CAP:
+                    continue
+                if cm * cn * itemsize > _TILE_BYTES_CAP:
+                    continue
+                key = (cm * cn, (M // cm) * (N // cn), -min(cm, cn))
+                if best is None or key < best[0]:
+                    best = (key, cm, cn)
+        if best:
+            return best[1], best[2]
+    return None
 
 
 def _interpret_env() -> bool:
