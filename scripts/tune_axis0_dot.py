@@ -77,7 +77,10 @@ def main(N=512):
     variants = [("axis0 in-place einsum (conv-lowered?)", axis0_inplace),
                 ("axis0 flat 2D dot", axis0_flat),
                 ("axis2 in-place (dot-form ref)", axis2_inplace)]
-    for prec in (lax.Precision.HIGH, lax.Precision.HIGHEST):
+    precs = [lax.Precision.HIGH]
+    if os.environ.get("AXIS0_BOTH_PRECS", "0") == "1":
+        precs.append(lax.Precision.HIGHEST)
+    for prec in precs:
         for name, fn in variants:
             f = lambda r, i, fn=fn, p=prec: fn(r, i, p)
             # correctness cross-check once per pair
