@@ -15,6 +15,7 @@ too.
 
 import json
 import math
+import os
 
 import numpy as np
 import jax
@@ -107,6 +108,57 @@ def transpose_headline(N=512, n_trials=3, iters=32):
                 if seg["local_ms"] > 0 else None)}
 
 
+def transpose_headline_large(N, n_trials=3, iters=16):
+    """Chained round trip at N >= 768 with in-jit field generation.
+
+    At 1024^3 a 4 GiB f32 benchmark *argument* pushes the program past the
+    16 GiB HBM (measured r4: OOM by exactly the 258 MiB reserve); generating
+    the field inside the jit from a PRNG key removes the argument and the
+    mixed-rule cycle fits.  Single-chip only (the multi-chip path keeps the
+    sharded-argument form of :func:`transpose_headline`).  The r4 tile
+    planner keeps the Pallas permute kernel on these sizes (BENCH_NOTES.md
+    "permute tile planner"), so the chained cycle is fold-proof.
+    """
+    import time as _time
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+
+    grid = cd.make_grid(
+        GridConfig(gdims=(N, N, N), pdims=(1, 1),
+                   transpose_axis_contiguous=(True, True, True)),
+        devices=jax.devices()[:1])
+
+    def roundtrip(a):
+        b = cd.transpose_x_to_y(grid, a)
+        b = cd.transpose_y_to_z(grid, b)
+        b = cd.transpose_z_to_y(grid, b)
+        return cd.transpose_y_to_x(grid, b)
+
+    @jax.jit
+    def run(key):
+        x = jax.random.normal(key, (N, N, N), jnp.float32)
+        out = jax.lax.scan(lambda c, _: (roundtrip(c), ()), x, None,
+                           length=iters)[0]
+        return jnp.sum(out)
+
+    key = jax.random.PRNGKey(0)
+    float(run(key))  # compile + first run
+    float(run(key))
+    ts = []
+    for _ in range(n_trials):
+        t0 = _time.perf_counter()
+        float(run(key))
+        ts.append((_time.perf_counter() - t0) / iters)
+    t = min(ts)
+    nbytes = 2 * 4 * N ** 3 * 4  # 4 ops, 1R+1W each, f32
+    return {"metric": f"{N}^3 f32 transpose round-trip (X2Y;Y2Z;Z2Y;Y2X, "
+                      f"1 chip, axis-contiguous, in-jit gen)",
+            "value": round(t * 1e3, 3), "unit": "ms",
+            "a2a_ms": 0.0, "local_ms": round(t * 1e3, 3),
+            "a2a_gbps_per_chip": None,
+            "local_gbps_per_chip": round(nbytes / t / 1e9, 2)}
+
+
 def halo_headline(N=512, width=1, ITERS=32, n_trials=3):
     """Halo-update cost on the x-pencil with ±``width`` halos in all
     distributed dims, periodic — the autotuneHaloBackend trial payload
@@ -163,6 +215,16 @@ def main():
     r = transpose_headline()
     print(json.dumps(r))
     results.append(r)
+
+    # Large-N transposes (single chip only): NOTE these poison the server
+    # state for 512^3 r2c (see above), which is why they run last and the
+    # r2c gate ran first.  CUDECOMP_TPU_BENCH_LARGE=0 opts out.
+    if (len(jax.devices()) == 1 and jax.default_backend() not in ("cpu",)
+            and os.environ.get("CUDECOMP_TPU_BENCH_LARGE", "1") == "1"):
+        for N in (768, 1024):
+            r = transpose_headline_large(N)
+            print(json.dumps(r))
+            results.append(r)
 
     r = halo_headline()
     print(json.dumps(r))
