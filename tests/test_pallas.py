@@ -484,6 +484,46 @@ def test_flat_peer_index_targets_2x4_mesh():
                 for p in range(2)] == expected_pr[(r, c)]
 
 
+def test_plan_tiles_properties(monkeypatch):
+    # the r4 tile planner (BENCH_NOTES.md "permute tile planner"): square
+    # preference, 896-block remote-compiler cap, 8 MB block byte cap
+    from cudecomp_tpu.ops.pallas_kernels import (_GRID_CAP, _TILE_BYTES_CAP,
+                                                 _plan_tiles)
+    monkeypatch.delenv("CUDECOMP_TPU_PERMUTE_TILES", raising=False)
+
+    # measured-optimal defaults when their grid fits the block cap
+    assert _plan_tiles(512, 512 * 512) == (512, 512)
+    # 768^3 cyclic permutes: square (768, 768) at 768 blocks (the committed
+    # 29.6 ms / 489 GB/s plan); both (1,2,0) and (2,0,1) view shapes
+    assert _plan_tiles(768, 768 * 768) == (768, 768)
+    assert _plan_tiles(768 * 768, 768) == (768, 768)
+    # 1024^3: no square plan fits the caps; 8 MB blocks at 512-block grids
+    assert _plan_tiles(1024, 1024 * 1024) == (1024, 2048)
+    assert _plan_tiles(1024 * 1024, 1024) == (2048, 1024)
+
+    # every emitted plan is Mosaic-legal and under both caps
+    for M, N in [(512, 512 * 512), (768, 768 * 768), (768 * 768, 768),
+                 (1024, 1024 * 1024), (1024 * 1024, 1024),
+                 (384, 384 * 384), (256 * 384, 512), (16, 24 * 32)]:
+        tm, tn = _plan_tiles(M, N)
+        assert M % tm == 0 and N % tn == 0
+        assert tm % 128 == 0 or tm == M
+        assert tn % 128 == 0 or tn == N
+        assert (M // tm) * (N // tn) <= _GRID_CAP
+        assert tm * tn * 4 <= _TILE_BYTES_CAP
+    # prime extents: no legal tile
+    assert _plan_tiles(1021, 1021 * 1021) is None
+
+    # the measurement override knob: legal pairs are honored verbatim,
+    # illegal or malformed ones fall back to the planner
+    monkeypatch.setenv("CUDECOMP_TPU_PERMUTE_TILES", "256x512")
+    assert _plan_tiles(512, 512 * 512) == (256, 512)
+    monkeypatch.setenv("CUDECOMP_TPU_PERMUTE_TILES", "100x100")
+    assert _plan_tiles(512, 512 * 512) == (512, 512)
+    monkeypatch.setenv("CUDECOMP_TPU_PERMUTE_TILES", "garbage")
+    assert _plan_tiles(512, 512 * 512) == (512, 512)
+
+
 def test_transpose2d_nonsquare_tiles_interpret():
     # the r4 tile planner emits non-square tiles (e.g. 384x1152 at 768^3);
     # validate the kernel with an uneven tile pair in interpret mode
