@@ -55,6 +55,7 @@ from cudecomp_tpu.ops.transpose import (
     transpose_z_to_y,
 )
 from cudecomp_tpu.ops.halo import update_halos
+from cudecomp_tpu.ops.stencil import laplacian7, diffusion_step
 from cudecomp_tpu.ops import fft
 from cudecomp_tpu.ops.fft import (DistributedFFT, autotune_fft,
                                   fft3d, ifft3d)
@@ -93,6 +94,8 @@ __all__ = [
     "transpose_y_to_z",
     "transpose_z_to_y",
     "update_halos",
+    "laplacian7",
+    "diffusion_step",
     "fft",
     "DistributedFFT",
     "autotune_fft",

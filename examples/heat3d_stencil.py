@@ -9,10 +9,12 @@ explicit 7-point Laplacian diffusion on a periodic box,
 
     u_{t+1} = u_t + dt * lap(u_t),
 
-with halos refreshed every step, verifies against a numpy reference, and
-(on a single chip) reports the **marginal in-pipeline halo cost**: the
-per-step time of (halo update + stencil) minus a stencil-only control —
-the honest version of the isolated halo metric.
+two ways — the halo'd-buffer pipeline (``update_halos`` + shifted-slice
+stencil, the reference's architecture) and the library's fused
+ghost-plane pipeline (``cd.diffusion_step``, one Pallas HBM pass; see
+``cudecomp_tpu/ops/stencil.py``) — verifies both against a numpy
+reference, and (on a single chip) benchmarks them side by side.
+Measured at 512^3 f32: 4.4 vs 21.9 ms/step (BENCH_NOTES.md r4).
 
 Reference analog: cuDecomp validates its halo machinery with halo_tests
 (``tests/ctest/halo_tests.cc``) and documents halo exchange for stencil
@@ -110,31 +112,50 @@ def main(N=64, steps=10, dt=0.1):
     want = numpy_steps(blob, dt, steps)
     err = float(np.max(np.abs(got - want)))
     e0, e1 = float(np.sum(blob ** 2)), float(np.sum(got ** 2))
-    print(f"  max err vs numpy after {steps} steps: {err:.3g}")
+    print(f"  halo'd-buffer pipeline: max err vs numpy after {steps} "
+          f"steps: {err:.3g}")
     print(f"  energy {e0:.6f} -> {e1:.6f} (diffusion decays energy)")
     assert err < 1e-4, err
     assert e1 < e0
+
+    # the fused ghost-plane pipeline (ops/stencil.py): interior layout,
+    # no halo buffer, one Pallas pass per step on TPU
+    ui = cd.scatter_global(grid, blob, 0)
+
+    @jax.jit
+    def run_ghost(v):
+        return lax.scan(
+            lambda c, _: (cd.diffusion_step(grid, c, dt, 0, PERIODS), ()),
+            v, None, length=steps)[0]
+
+    got_g = np.asarray(cd.gather_global(grid, run_ghost(ui), 0))
+    err_g = float(np.max(np.abs(got_g - want)))
+    print(f"  ghost-plane pipeline:   max err vs numpy: {err_g:.3g}")
+    assert err_g < 1e-4, err_g
 
     # single-chip marginal halo cost: (halo + stencil) vs stencil-only,
     # forced-completion scanned timing (BENCH_NOTES.md methodology)
     if n_dev == 1 and jax.default_backend() not in ("cpu",):
         iters = 32
-        for label, fn in (("halo+stencil (concat form)", step),
-                          ("halo+stencil (DUS form)",
-                           make_step(grid, dt, donate=True)),
-                          ("stencil-only", make_step(grid, dt,
-                                                     with_halo=False))):
+        cases = (
+            ("halo+stencil (concat form)", step, u),
+            ("halo+stencil (DUS form)", make_step(grid, dt, donate=True), u),
+            ("stencil-only", make_step(grid, dt, with_halo=False), u),
+            ("ghost-plane diffusion_step (Pallas)",
+             lambda v: cd.diffusion_step(grid, v, dt, 0, PERIODS), ui),
+        )
+        for label, fn, x0 in cases:
             @jax.jit
             def bench(v, fn=fn):
                 out = lax.scan(lambda c, _: (fn(c), ()), v, None,
                                length=iters)[0]
                 return jnp.sum(out)
 
-            float(bench(u)); float(bench(u))
+            float(bench(x0)); float(bench(x0))
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                float(bench(u))
+                float(bench(x0))
                 ts.append((time.perf_counter() - t0) / iters)
             print(f"  {label}: {min(ts)*1e3:.3f} ms/step")
 
