@@ -159,6 +159,31 @@ def transpose_headline_large(N, n_trials=3, iters=16):
             "local_gbps_per_chip": round(nbytes / t / 1e9, 2)}
 
 
+def stencil_headline(N=512, ITERS=32, n_trials=3, dt=0.1):
+    """Fused ghost-plane diffusion step (ops/stencil.py) — the halo
+    engine's consumer path re-designed TPU-first (one Pallas HBM pass;
+    4x the halo'd-buffer pipeline at 512^3, BENCH_NOTES.md r4)."""
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    cfg = GridConfig(gdims=(N, N, N), pdims=default_pdims(n_dev))
+    grid = cd.make_grid(cfg, devices=devices)
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(2), grid.global_shape(0),
+                          dtype=jnp.float32), grid.sharding(0))
+
+    def step(v):
+        return cd.diffusion_step(grid, v, dt, 0, (True, True, True))
+
+    t = _time_scanned_local(step, x, ITERS, n_trials)
+    return {"metric": f"{N}^3 f32 fused diffusion step (ghost-plane "
+                      f"stencil pipeline, {n_dev} "
+                      f"chip{'s' if n_dev > 1 else ''})",
+            "value": round(t * 1e3, 3), "unit": "ms"}
+
+
 def halo_headline(N=512, width=1, ITERS=32, n_trials=3):
     """Halo-update cost on the x-pencil with ±``width`` halos in all
     distributed dims, periodic — the autotuneHaloBackend trial payload
@@ -227,6 +252,10 @@ def main():
             results.append(r)
 
     r = halo_headline()
+    print(json.dumps(r))
+    results.append(r)
+
+    r = stencil_headline()
     print(json.dumps(r))
     results.append(r)
 

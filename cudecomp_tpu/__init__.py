@@ -55,7 +55,7 @@ from cudecomp_tpu.ops.transpose import (
     transpose_z_to_y,
 )
 from cudecomp_tpu.ops.halo import update_halos
-from cudecomp_tpu.ops.stencil import laplacian7, diffusion_step
+from cudecomp_tpu.ops.stencil import laplacian7, diffusion_step, halo_map
 from cudecomp_tpu.ops import fft
 from cudecomp_tpu.ops.fft import (DistributedFFT, autotune_fft,
                                   fft3d, ifft3d)
@@ -96,6 +96,7 @@ __all__ = [
     "update_halos",
     "laplacian7",
     "diffusion_step",
+    "halo_map",
     "fft",
     "DistributedFFT",
     "autotune_fft",

@@ -44,7 +44,7 @@ from cudecomp_tpu import geometry
 from cudecomp_tpu.parallel.collectives import shard_map_fn
 from cudecomp_tpu.utils.tracing import trace_range
 
-__all__ = ["laplacian7", "diffusion_step"]
+__all__ = ["laplacian7", "diffusion_step", "halo_map"]
 
 
 def _local_extents(grid, axis: int) -> Tuple[int, int, int]:
@@ -229,6 +229,94 @@ def _lap_apply(grid, u, axis, halo_periods, alpha, beta):
 
     fn = shard_map_fn(local_fn, grid.mesh, in_specs=(spec,), out_specs=spec)
     return fn(u)
+
+
+def _extend_dim(ul, d, w, name, P, periodic):
+    """Extend a local block by ``w`` ghost planes on both sides of dim
+    ``d`` (neighbor slabs via paired ppermute, local wrap when the dim is
+    unsharded, zero ghosts at non-periodic edges)."""
+    n = ul.shape[d]
+    lo_slab = lax.slice_in_dim(ul, 0, w, axis=d)
+    hi_slab = lax.slice_in_dim(ul, n - w, n, axis=d)
+    if P == 1:
+        if periodic:
+            lo, hi = hi_slab, lo_slab
+        else:
+            lo, hi = jnp.zeros_like(hi_slab), jnp.zeros_like(lo_slab)
+    else:
+        fwd = [(j, (j + 1) % P) for j in range(P)]
+        bwd = [(j, (j - 1) % P) for j in range(P)]
+        if not periodic:
+            fwd, bwd = fwd[:-1], bwd[1:]
+        lo = lax.ppermute(hi_slab, name, fwd)
+        hi = lax.ppermute(lo_slab, name, bwd)
+    return jnp.concatenate([lo, ul, hi], axis=d)
+
+
+def halo_map(grid, u, fn, axis: int = 0, width=1,
+             halo_periods=(True, True, True)):
+    """Apply a user stencil ``fn`` to each shard's block extended by ghost
+    cells — the functional, width-generic form of the reference's
+    halo'd-buffer contract (``cudecompUpdateHalos`` + user stencil,
+    halo.h:40-315) with no persistent halo regions in the user's arrays.
+
+    ``u`` is a halo-free pencil-``axis`` array; each shard's local block
+    of shape ``(mx, my, mz)`` is extended to ``(mx+2wx, my+2wy, mz+2wz)``
+    with neighbor data (``width`` may be an int or a per-memory-dim
+    triple; dims are extended sequentially, so corner/edge ghosts compose
+    exactly like successive reference halo calls), and ``fn`` maps the
+    extended block back to ``(mx, my, mz)``.  Non-periodic edges see zero
+    ghosts (Dirichlet); sharded extents must divide evenly.
+
+    This is the generic escape hatch behind :func:`laplacian7` — use it
+    for higher-order or anisotropic stencils; the 7-point Laplacian gets
+    the fused one-pass Pallas kernel instead.
+    """
+    cfg = grid.config
+    if axis not in (0, 1, 2):
+        raise ValueError(f"axis out of range: {axis}")
+    if u.ndim != 3:
+        raise ValueError("halo_map expects a plain 3D pencil array")
+    widths = ((int(width),) * 3 if np.isscalar(width)
+              else tuple(int(w) for w in width))
+    if len(widths) != 3 or any(w < 0 for w in widths):
+        raise ValueError(f"invalid width {width!r}")
+    periods = tuple(bool(p) for p in halo_periods)
+    if len(periods) != 3:
+        raise ValueError("halo_periods must have length 3")
+    expected = grid.global_shape(axis)
+    if tuple(u.shape) != expected:
+        raise ValueError(
+            f"halo_map: input shape {tuple(u.shape)} does not match the "
+            f"halo-free pencil layout {expected}")
+    ext = _local_extents(grid, axis)
+    for d in range(3):
+        if widths[d] > ext[d]:
+            raise ValueError(
+                f"ghost width {widths[d]} exceeds the local extent "
+                f"{ext[d]} of memory dim {d} (halo.h:120-145 analog)")
+    order = cfg.mem_order(axis)
+    periods_mem = tuple(periods[order[d]] for d in range(3))
+    spec = grid.spec(axis)
+    ndev_by_name = dict(grid.mesh.shape)
+
+    def local_fn(ul):
+        for d in range(3):
+            if widths[d] == 0:
+                continue
+            name = spec[d]
+            P = ndev_by_name.get(name, 1) if name is not None else 1
+            ul = _extend_dim(ul, d, widths[d], name, P, periods_mem[d])
+        out = fn(ul)
+        if tuple(out.shape) != ext:
+            raise ValueError(
+                f"halo_map fn returned shape {tuple(out.shape)}; expected "
+                f"the interior block shape {ext}")
+        return out
+
+    with trace_range(f"cudecomp_tpu.halo_map_axis{axis}"):
+        return shard_map_fn(local_fn, grid.mesh, in_specs=(spec,),
+                            out_specs=spec)(u)
 
 
 def laplacian7(grid, u, axis: int = 0, halo_periods=(True, True, True)):

@@ -43,3 +43,13 @@ def test_bench_main_runs_on_cpu(capsys):
     rec = json.loads(out)
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
+
+
+def test_bench_full_headlines_run_on_cpu():
+    import bench_full
+    r = bench_full.halo_headline(N=16, width=1, ITERS=1, n_trials=1)
+    assert r["value"] > 0
+    r = bench_full.stencil_headline(N=16, ITERS=1, n_trials=1)
+    assert r["value"] > 0
+    r = bench_full.transpose_headline(N=16, n_trials=1, iters=1)
+    assert r["value"] > 0

@@ -101,6 +101,94 @@ def test_pallas_kernel_interpret(monkeypatch):
              dtype=np.float32, steps=2, dt=0.1)
 
 
+def np_extend(u, widths, periods):
+    """Global ghost extension: wrap for periodic dims, zeros otherwise."""
+    out = u
+    for d in range(3):
+        w = widths[d]
+        if w == 0:
+            continue
+        pad = [(0, 0)] * 3
+        pad[d] = (w, w)
+        mode = "wrap" if periods[d] else "constant"
+        out = np.pad(out, pad, mode=mode)
+    return out
+
+
+def crop(a, widths):
+    sl = tuple(slice(w, a.shape[d] - w) for d, w in enumerate(widths))
+    return a[sl]
+
+
+@pytest.mark.parametrize("pdims,widths,periods", [
+    ((2, 4), (1, 1, 1), (True, True, True)),
+    ((2, 4), (2, 2, 2), (True, False, True)),
+    ((1, 1), (2, 1, 0), (False, True, True)),
+    ((4, 1), (0, 2, 2), (True, True, False)),
+])
+def test_halo_map_box_mean(pdims, widths, periods):
+    # box-sum stencil of the given widths: exercises corner ghosts too
+    gdims = (16, 16, 16)
+    cfg = GridConfig(gdims=gdims, pdims=pdims)
+    grid = cd.make_grid(cfg, devices=jax.devices()[: pdims[0] * pdims[1]])
+    x = np.random.default_rng(3).standard_normal(gdims)
+    u = cd.scatter_global(grid, x, 0)
+
+    def box_sum(ue):
+        out = 0.0
+        for ox in range(2 * widths[0] + 1):
+            for oy in range(2 * widths[1] + 1):
+                for oz in range(2 * widths[2] + 1):
+                    out = out + ue[ox:ox + ue.shape[0] - 2 * widths[0],
+                                   oy:oy + ue.shape[1] - 2 * widths[1],
+                                   oz:oz + ue.shape[2] - 2 * widths[2]]
+        return out
+
+    got = np.asarray(cd.gather_global(
+        grid, jax.jit(lambda v: cd.halo_map(grid, v, box_sum, 0, widths,
+                                            periods))(u), 0))
+    want = box_sum(np_extend(x, widths, periods))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+def test_halo_map_scalar_width_and_errors():
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 4))
+    grid = cd.make_grid(cfg)
+    x = np.random.default_rng(4).standard_normal((16, 16, 16))
+    u = cd.scatter_global(grid, x, 0)
+    got = np.asarray(cd.gather_global(
+        grid, cd.halo_map(grid, u, lambda ue: ue[1:-1, 1:-1, 1:-1], 0, 1),
+        0))
+    np.testing.assert_allclose(got, x, rtol=0, atol=0)
+    # width exceeding the local extent of a sharded dim (16/4 = 4)
+    with pytest.raises(ValueError, match="exceeds the local extent"):
+        cd.halo_map(grid, u, lambda ue: ue, 0, (0, 0, 5))
+    with pytest.raises(ValueError, match="expected the interior"):
+        cd.halo_map(grid, u, lambda ue: ue, 0, 1)
+    with pytest.raises(ValueError, match="invalid width"):
+        cd.halo_map(grid, u, lambda ue: ue, 0, (1, -1, 0))
+
+
+def test_halo_map_matches_laplacian7():
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 2))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:4])
+    x = np.random.default_rng(5).standard_normal((16, 16, 16))
+    u = cd.scatter_global(grid, x, 0)
+
+    def lap(ue):
+        c = ue[1:-1, 1:-1, 1:-1]
+        return (ue[:-2, 1:-1, 1:-1] + ue[2:, 1:-1, 1:-1]
+                + ue[1:-1, :-2, 1:-1] + ue[1:-1, 2:, 1:-1]
+                + ue[1:-1, 1:-1, :-2] + ue[1:-1, 1:-1, 2:] - 6.0 * c)
+
+    periods = (True, False, True)
+    a = np.asarray(cd.gather_global(
+        grid, cd.halo_map(grid, u, lap, 0, 1, periods), 0))
+    b = np.asarray(cd.gather_global(
+        grid, cd.laplacian7(grid, u, 0, periods), 0))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
 def test_kernel_eligibility():
     from cudecomp_tpu.ops import stencil as st
     # off-TPU without interpret: never
