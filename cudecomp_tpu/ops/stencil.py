@@ -102,27 +102,48 @@ def _exchange_ghosts(ul, spec, mesh, periods_mem, ndev_by_name):
     return ghosts
 
 
-def _kernel(cur_ref, prev_ref, next_ref, gxlo_ref, gxhi_ref,
-            gylo_ref, gyhi_ref, gzlo_ref, gzhi_ref, out_ref,
-            *, bx, nbx, my, mz, alpha, beta):
-    """One-pass ``alpha*u + beta*lap(u)`` on an x-plane block."""
+def _kernel(cur_ref, prev_ref, next_ref, *refs,
+            bx, nbx, my, mz, alpha, beta, wrap):
+    """One-pass ``alpha*u + beta*lap(u)`` on an x-plane block.
+
+    ``wrap[d]`` marks dims that are fully local AND periodic: their
+    neighbor values come from pure in-register rolls (x: the wrapped
+    prev/next plane BlockSpecs are already correct), so no ghost refs or
+    edge-select masks are needed — on a single shard with all-periodic
+    dims this collapses to the measured-fastest prototype form
+    (BENCH_NOTES.md r4 "stencil pipeline").  Non-wrap dims consume ghost
+    refs (passed in dim order, lo/hi pairs) with the ghost masked into
+    the edge row."""
     from jax.experimental.pallas import tpu as pltpu
 
+    refs = list(refs)          # ghost refs (lo/hi pairs, dim order)...
+    out_ref = refs.pop()       # ...followed by the output ref
     i = pl.program_id(0)
     cur = cur_ref[...]
-    prev = jnp.where(i == 0, gxlo_ref[...], prev_ref[...])
-    nxt = jnp.where(i == nbx - 1, gxhi_ref[...], next_ref[...])
+    prev, nxt = prev_ref[...], next_ref[...]
+    if not wrap[0]:
+        gxlo, gxhi = refs.pop(0), refs.pop(0)
+        prev = jnp.where(i == 0, gxlo[...], prev)
+        nxt = jnp.where(i == nbx - 1, gxhi[...], nxt)
     up = jnp.concatenate([prev, cur[:-1]], axis=0)
     down = jnp.concatenate([cur[1:], nxt], axis=0)
 
     # pltpu.roll requires non-negative shifts: roll by size-1 == roll by -1
-    iy = lax.broadcasted_iota(jnp.int32, cur.shape, 1)
-    ydn = jnp.where(iy == 0, gylo_ref[...], pltpu.roll(cur, 1, 1))
-    yup = jnp.where(iy == my - 1, gyhi_ref[...], pltpu.roll(cur, my - 1, 1))
+    ydn = pltpu.roll(cur, 1, 1)
+    yup = pltpu.roll(cur, my - 1, 1)
+    if not wrap[1]:
+        gylo, gyhi = refs.pop(0), refs.pop(0)
+        iy = lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+        ydn = jnp.where(iy == 0, gylo[...], ydn)
+        yup = jnp.where(iy == my - 1, gyhi[...], yup)
 
-    iz = lax.broadcasted_iota(jnp.int32, cur.shape, 2)
-    zdn = jnp.where(iz == 0, gzlo_ref[...], pltpu.roll(cur, 1, 2))
-    zup = jnp.where(iz == mz - 1, gzhi_ref[...], pltpu.roll(cur, mz - 1, 2))
+    zdn = pltpu.roll(cur, 1, 2)
+    zup = pltpu.roll(cur, mz - 1, 2)
+    if not wrap[2]:
+        gzlo, gzhi = refs.pop(0), refs.pop(0)
+        iz = lax.broadcasted_iota(jnp.int32, cur.shape, 2)
+        zdn = jnp.where(iz == 0, gzlo[...], zdn)
+        zup = jnp.where(iz == mz - 1, gzhi[...], zup)
 
     lap = up + down + ydn + yup + zdn + zup - 6.0 * cur
     out_ref[...] = alpha * cur + beta * lap
@@ -151,9 +172,13 @@ def _pick_bx(mx: int, plane_bytes: int = 0) -> int:
     return 1
 
 
-def _apply_local(ul, ghosts, ext, alpha, beta, interpret):
+def _apply_local(ul, ghosts, ext, alpha, beta, interpret, wrap):
     """Per-shard stencil apply: Pallas one-pass kernel when eligible,
-    ghost-plane XLA form otherwise (CPU testing / ragged tilings)."""
+    ghost-plane XLA form otherwise (CPU testing / ragged tilings).
+
+    ``wrap[d]`` (dim is local AND periodic) drops that dim's ghost refs
+    from the kernel call — the unused exchange slices are dead code XLA
+    eliminates."""
     mx, my, mz = ext
     gxlo, gxhi, gylo, gyhi, gzlo, gzhi = ghosts
     if _kernel_eligible(ext, ul.dtype, interpret):
@@ -164,9 +189,19 @@ def _apply_local(ul, ghosts, ext, alpha, beta, interpret):
         if not interpret:
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
+        ghost_specs, ghost_args = [], []
+        if not wrap[0]:
+            ghost_specs += [pl.BlockSpec((1, my, mz), lambda i: (0, 0, 0))] * 2
+            ghost_args += [gxlo, gxhi]
+        if not wrap[1]:
+            ghost_specs += [pl.BlockSpec((bx, 1, mz), lambda i: (i, 0, 0))] * 2
+            ghost_args += [gylo, gyhi]
+        if not wrap[2]:
+            ghost_specs += [pl.BlockSpec((bx, my, 1), lambda i: (i, 0, 0))] * 2
+            ghost_args += [gzlo, gzhi]
         return pl.pallas_call(
             partial(_kernel, bx=bx, nbx=nbx, my=my, mz=mz,
-                    alpha=alpha, beta=beta),
+                    alpha=alpha, beta=beta, wrap=wrap),
             grid=(nbx,),
             in_specs=[
                 pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
@@ -174,18 +209,12 @@ def _apply_local(ul, ghosts, ext, alpha, beta, interpret):
                              lambda i, bx=bx, mx=mx: ((i * bx - 1) % mx, 0, 0)),
                 pl.BlockSpec((1, my, mz),
                              lambda i, bx=bx, mx=mx: (((i + 1) * bx) % mx, 0, 0)),
-                pl.BlockSpec((1, my, mz), lambda i: (0, 0, 0)),
-                pl.BlockSpec((1, my, mz), lambda i: (0, 0, 0)),
-                pl.BlockSpec((bx, 1, mz), lambda i: (i, 0, 0)),
-                pl.BlockSpec((bx, 1, mz), lambda i: (i, 0, 0)),
-                pl.BlockSpec((bx, my, 1), lambda i: (i, 0, 0)),
-                pl.BlockSpec((bx, my, 1), lambda i: (i, 0, 0)),
-            ],
+            ] + ghost_specs,
             out_specs=pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct(ul.shape, ul.dtype),
             interpret=interpret,
             **params,
-        )(ul, ul, ul, gxlo, gxhi, gylo, gyhi, gzlo, gzhi)
+        )(ul, ul, ul, *ghost_args)
 
     # XLA fallback: same ghost-plane math as jnp concatenations
     up = jnp.concatenate([gxlo, ul[:-1]], axis=0)
@@ -222,10 +251,15 @@ def _lap_apply(grid, u, axis, halo_periods, alpha, beta):
     ndev_by_name = dict(grid.mesh.shape)
     interpret = _interpret_env()
 
+    wrap = tuple(
+        periods_mem[d]
+        and (spec[d] is None or ndev_by_name.get(spec[d], 1) == 1)
+        for d in range(3))
+
     def local_fn(ul):
         ghosts = _exchange_ghosts(ul, spec, grid.mesh, periods_mem,
                                   ndev_by_name)
-        return _apply_local(ul, ghosts, ext, alpha, beta, interpret)
+        return _apply_local(ul, ghosts, ext, alpha, beta, interpret, wrap)
 
     fn = shard_map_fn(local_fn, grid.mesh, in_specs=(spec,), out_specs=spec)
     return fn(u)

@@ -99,6 +99,12 @@ def test_pallas_kernel_interpret(monkeypatch):
     run_case((16, 16, 128), (1, 1), 0, (True, True, True), dtype=np.float32)
     run_case((16, 16, 128), (1, 1), 0, (True, False, False),
              dtype=np.float32, steps=2, dt=0.1)
+    # x in ghost mode (non-periodic): exercises the edge-block selects
+    run_case((16, 16, 128), (1, 1), 0, (False, True, True),
+             dtype=np.float32)
+    # sharded dims in ghost mode: ppermute exchange + interpret kernel
+    run_case((16, 16, 128), (2, 4), 0, (True, True, True),
+             dtype=np.float32)
 
 
 def np_extend(u, widths, periods):
