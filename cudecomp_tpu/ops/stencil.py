@@ -31,7 +31,7 @@ halo'd-buffer pipeline (BENCH_NOTES.md r4).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -353,16 +353,44 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
                             out_specs=spec)(u)
 
 
+@lru_cache(maxsize=256)
+def _diff_apply_fn(grid, axis, periods, alpha, beta):
+    """Cached differentiable apply for one (grid, op) configuration.
+
+    The operator ``alpha*I + beta*L`` is SELF-ADJOINT for every ghost
+    mode this module produces — the periodic Laplacian is symmetric, and
+    the Dirichlet zero-ghost Laplacian's matrix (-6 diagonal, 1 for each
+    in-domain neighbor pair) is symmetric too — so the custom VJP routes
+    the cotangent through the SAME fused apply (the Pallas kernel needs
+    an explicit VJP; this also keeps the backward pass one HBM pass).
+    """
+
+    @jax.custom_vjp
+    def f(u):
+        return _lap_apply(grid, u, axis, periods, alpha, beta)
+
+    def fwd(u):
+        return f(u), None
+
+    def bwd(_, g):
+        return (f(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def laplacian7(grid, u, axis: int = 0, halo_periods=(True, True, True)):
     """7-point Laplacian of a halo-free pencil array (unit grid spacing).
 
     The fused ghost-plane alternative to ``update_halos`` + a shifted-
     slice stencil: one collective round for the boundary planes, one HBM
     pass for the stencil (Pallas on TPU; XLA ghost-plane form elsewhere).
-    Non-periodic edges use zero (Dirichlet) ghost planes.
+    Non-periodic edges use zero (Dirichlet) ghost planes.  Differentiable
+    (self-adjoint custom VJP — the backward pass is one fused apply too).
     """
+    periods = tuple(bool(p) for p in halo_periods)
     with trace_range(f"cudecomp_tpu.laplacian7_axis{axis}"):
-        return _lap_apply(grid, u, axis, halo_periods, 0.0, 1.0)
+        return _diff_apply_fn(grid, axis, periods, 0.0, 1.0)(u)
 
 
 def diffusion_step(grid, u, dt, axis: int = 0,
@@ -370,8 +398,17 @@ def diffusion_step(grid, u, dt, axis: int = 0,
     """One fused explicit diffusion step ``u + dt * lap(u)``.
 
     Same pipeline as :func:`laplacian7` with the axpy folded into the
-    kernel's single pass (measured 4.2 ms/step at 512^3 f32 on one v5e
+    kernel's single pass (measured 4.4 ms/step at 512^3 f32 on one v5e
     chip vs 21.9 ms for halo'd-buffer + XLA stencil; BENCH_NOTES.md r4).
+    Differentiable; a traced (non-static) ``dt`` falls back to the
+    two-pass ``u + dt * laplacian7(u)`` composition, since the fused
+    kernel is specialized per static coefficient pair.
     """
+    periods = tuple(bool(p) for p in halo_periods)
     with trace_range(f"cudecomp_tpu.diffusion_step_axis{axis}"):
-        return _lap_apply(grid, u, axis, halo_periods, 1.0, dt)
+        try:
+            dt_c = float(dt)
+        except (TypeError, jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            return u + dt * laplacian7(grid, u, axis, periods)
+        return _diff_apply_fn(grid, axis, periods, 1.0, dt_c)(u)

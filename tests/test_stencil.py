@@ -195,6 +195,44 @@ def test_halo_map_matches_laplacian7():
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("periods", [(True, True, True),
+                                     (True, False, True)])
+def test_gradients_self_adjoint(periods):
+    # the stencil operator A = I + dt*L is symmetric for periodic AND
+    # Dirichlet ghost modes, so grad(sum(A u * w)) == A w
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 4))
+    grid = cd.make_grid(cfg)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((16, 16, 16))
+    w = rng.standard_normal((16, 16, 16))
+    u = cd.scatter_global(grid, x, 0)
+    wv = cd.scatter_global(grid, w, 0)
+    dt = 0.05
+
+    def loss(v):
+        return jnp.sum(cd.diffusion_step(grid, v, dt, 0, periods) * wv)
+
+    g = jax.grad(loss)(u)
+    want = cd.diffusion_step(grid, wv, dt, 0, periods)
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, g, 0)),
+                               np.asarray(cd.gather_global(grid, want, 0)),
+                               rtol=0, atol=1e-11)
+    # laplacian7 too, and traced-dt composition
+    g2 = jax.grad(lambda v: jnp.sum(cd.laplacian7(grid, v, 0, periods)
+                                    * wv))(u)
+    want2 = cd.laplacian7(grid, wv, 0, periods)
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, g2, 0)),
+                               np.asarray(cd.gather_global(grid, want2, 0)),
+                               rtol=0, atol=1e-11)
+    out_traced = jax.jit(
+        lambda v, d: cd.diffusion_step(grid, v, d, 0, periods))(u, dt)
+    out_static = cd.diffusion_step(grid, u, dt, 0, periods)
+    np.testing.assert_allclose(
+        np.asarray(cd.gather_global(grid, out_traced, 0)),
+        np.asarray(cd.gather_global(grid, out_static, 0)),
+        rtol=0, atol=1e-12)
+
+
 def test_kernel_eligibility():
     from cudecomp_tpu.ops import stencil as st
     # off-TPU without interpret: never
