@@ -99,6 +99,64 @@ class PoissonSolver:
                 uh = fh * inv_k2
             return plan.inverse(uh)
 
+    def solve_cg(self, f, tol: float = 1e-8, maxiter: int = 1000):
+        """Matrix-free conjugate-gradient solve of the DISCRETE 7-point
+        Poisson equation ``lap_h(u) = f`` (periodic, zero mean).
+
+        The matvec is one fused ghost-plane stencil pass per iteration
+        (:func:`cudecomp_tpu.laplacian7`; 4.4 ms at 512^3 f32 on one v5e
+        chip, BENCH_NOTES.md r4) — the finite-difference counterpart of
+        the spectral :meth:`solve` (their solutions differ by the FD
+        truncation error O(h^2); on the discrete operator's own rhs the
+        CG solution is exact to ``tol``).  CG is valid because the
+        operator is symmetric (the same self-adjointness the stencil
+        VJP relies on) and PSD on the mean-zero subspace.  Requires
+        uniform grid spacing across dims.
+
+        Returns ``(u, iters, rel_residual)``.
+        """
+        from cudecomp_tpu.ops.stencil import laplacian7
+        cfg = self.grid.config
+        hs = [self.lengths[d] / cfg.gdims[d] for d in range(3)]
+        if not np.allclose(hs, hs[0]):
+            raise ValueError(
+                f"solve_cg requires uniform spacing; got {hs} "
+                f"(use the spectral solve for anisotropic grids)")
+        inv_h2 = 1.0 / (hs[0] * hs[0])
+        periods = (True, True, True)
+        n_total = float(np.prod(cfg.gdims))
+
+        def matvec(v):
+            return (-inv_h2) * laplacian7(self.grid, v, 0, periods)
+
+        with trace_range("cudecomp_tpu.poisson_solve_cg"):
+            # zero-mean projection: the periodic operator is singular on
+            # constants; -f matches matvec = -lap (PSD)
+            b = -(f - jnp.mean(f))
+            bnorm = jnp.sqrt(jnp.sum(b * b))
+
+            def cond(state):
+                _, r, _, rs, it = state
+                return jnp.logical_and(it < maxiter,
+                                       jnp.sqrt(rs) > tol * bnorm)
+
+            def body(state):
+                u, r, p, rs, it = state
+                ap = matvec(p)
+                alpha = rs / jnp.sum(p * ap)
+                u = u + alpha * p
+                r = r - alpha * ap
+                rs_new = jnp.sum(r * r)
+                p = r + (rs_new / rs) * p
+                return u, r, p, rs_new, it + 1
+
+            u0 = jnp.zeros_like(b)
+            rs0 = jnp.sum(b * b)
+            u, r, _, rs, it = jax.lax.while_loop(
+                cond, body, (u0, b, b, rs0, jnp.int32(0)))
+            u = u - jnp.mean(u)
+            return u, it, jnp.sqrt(rs) / bnorm
+
     def jitted(self):
         """Return a jitted solve function with the spectral scale baked in."""
         plan = self.plan

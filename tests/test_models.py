@@ -35,6 +35,53 @@ def test_poisson_analytic(pdims):
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("pdims", [(2, 4), (1, 1)])
+def test_poisson_cg_exact_on_discrete_rhs(pdims):
+    # build the rhs FROM the discrete operator: the CG solve is then exact
+    # to its tolerance (no FD truncation in the oracle)
+    n = 16
+    grid = make_grid_for((n, n, n), pdims)
+    rng = np.random.default_rng(11)
+    u_true = rng.standard_normal((n, n, n))
+    u_true -= u_true.mean()
+    ub = cd.scatter_global(grid, u_true, 0)
+    solver = PoissonSolver(grid=grid)
+    h2 = (2 * np.pi / n) ** 2
+    fb = cd.laplacian7(grid, ub, 0, (True, True, True)) / h2
+    u, iters, rel = jax.jit(
+        lambda v: solver.solve_cg(v, tol=1e-10, maxiter=2000))(fb)
+    assert float(rel) < 1e-9
+    assert 0 < int(iters) < 2000
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, u, 0)),
+                               u_true, rtol=0, atol=1e-7)
+
+
+def test_poisson_cg_matches_spectral_to_truncation():
+    # on a smooth analytic rhs the CG (FD) and spectral solutions agree to
+    # O(h^2) truncation
+    n = 32
+    grid = make_grid_for((n, n, n), (2, 2))
+    xs = [np.arange(n) * 2 * np.pi / n] * 3
+    x, y, z = np.meshgrid(*xs, indexing="ij")
+    u_exact = np.sin(x) * np.cos(2 * y) * np.sin(3 * z)
+    f = -14.0 * u_exact
+    solver = PoissonSolver(grid=grid)
+    fb = cd.scatter_global(grid, f, 0)
+    u, iters, rel = solver.solve_cg(fb, tol=1e-10, maxiter=4000)
+    err = float(np.max(np.abs(np.asarray(
+        cd.gather_global(grid, u, 0)) - u_exact)))
+    # second-order FD at n=32: relative error ~ (k_max h)^2 / 12 ~ 3e-2
+    assert err < 5e-2, err
+    assert float(rel) < 1e-9
+
+
+def test_poisson_cg_rejects_anisotropic():
+    grid = make_grid_for((16, 16, 16), (1, 1))
+    solver = PoissonSolver(grid=grid, lengths=(2 * np.pi, np.pi, 2 * np.pi))
+    with pytest.raises(ValueError, match="uniform spacing"):
+        solver.solve_cg(jnp.zeros((16, 16, 16)))
+
+
 def test_poisson_split_complex_plane_path():
     # split_complex + real takes the plane-carried spectral path; it must
     # match the complex-mode solution and the analytic field
