@@ -99,21 +99,38 @@ class PoissonSolver:
                 uh = fh * inv_k2
             return plan.inverse(uh)
 
-    def solve_cg(self, f, tol: float = 1e-8, maxiter: int = 1000):
+    def solve_cg(self, f, tol: float = 1e-8, maxiter: int = 1000,
+                 check_every: int = 64):
         """Matrix-free conjugate-gradient solve of the DISCRETE 7-point
         Poisson equation ``lap_h(u) = f`` (periodic, zero mean).
 
         The matvec is one fused ghost-plane stencil pass per iteration
-        (:func:`cudecomp_tpu.laplacian7`; 4.4 ms at 512^3 f32 on one v5e
-        chip, BENCH_NOTES.md r4) — the finite-difference counterpart of
-        the spectral :meth:`solve` (their solutions differ by the FD
-        truncation error O(h^2); on the discrete operator's own rhs the
-        CG solution is exact to ``tol``).  CG is valid because the
-        operator is symmetric (the same self-adjointness the stencil
-        VJP relies on) and PSD on the mean-zero subspace.  Requires
-        uniform grid spacing across dims.
+        (:func:`cudecomp_tpu.laplacian7`; BENCH_NOTES.md r4) — the
+        finite-difference counterpart of the spectral :meth:`solve`
+        (their solutions differ by the FD truncation error O(h^2); on
+        the discrete operator's own rhs the CG solution is exact to
+        ``tol``).  CG is valid because the operator is symmetric (the
+        same self-adjointness the stencil VJP relies on) and PSD on the
+        mean-zero subspace.  Requires uniform grid spacing across dims.
 
-        Returns ``(u, iters, rel_residual)``.
+        The convergence test runs once per ``check_every`` iterations.
+        Eagerly-called solves drive the loop from the HOST over a jitted
+        donated ``fori_loop`` chunk: on the axon remote runtime
+        ``lax.while_loop`` state round-trips through the host on every
+        cond evaluation (measured 111-261 ms/iter vs 1.38 ms/iter for
+        the identical body under ``fori_loop`` at 256^3 — Pallas and
+        pure-XLA bodies alike; BENCH_NOTES.md r4 "CG"), while a
+        host-driven chunk pays only one dispatch + one scalar fetch per
+        ``check_every`` iterations with the state resident on device.
+        Inside an enclosing ``jit`` the data-dependent loop must stay
+        on-device, so the traced path keeps the chunked
+        ``while_loop``.  Either way the solve may overshoot convergence
+        by up to ``check_every - 1`` cheap iterations, and division
+        guards keep a mid-chunk-converged state stationary (0/0 would
+        otherwise NaN it).
+
+        Returns ``(u, iters, rel_residual)`` (Python scalars when called
+        eagerly).
         """
         from cudecomp_tpu.ops.stencil import laplacian7
         cfg = self.grid.config
@@ -124,38 +141,80 @@ class PoissonSolver:
                 f"(use the spectral solve for anisotropic grids)")
         inv_h2 = 1.0 / (hs[0] * hs[0])
         periods = (True, True, True)
-        n_total = float(np.prod(cfg.gdims))
+        check_every = max(1, min(int(check_every), int(maxiter)))
 
         def matvec(v):
             return (-inv_h2) * laplacian7(self.grid, v, 0, periods)
 
+        def step(_, st):
+            u, r, p, rs = st
+            ap = matvec(p)
+            denom = jnp.sum(p * ap)
+            alpha = jnp.where(denom > 0, rs / jnp.where(denom > 0,
+                                                        denom, 1.0), 0.0)
+            u = u + alpha * p
+            r = r - alpha * ap
+            rs_new = jnp.sum(r * r)
+            beta = jnp.where(rs > 0, rs_new / jnp.where(rs > 0, rs, 1.0),
+                             0.0)
+            return u, r, r + beta * p, rs_new
+
         with trace_range("cudecomp_tpu.poisson_solve_cg"):
-            # zero-mean projection: the periodic operator is singular on
-            # constants; -f matches matvec = -lap (PSD)
-            b = -(f - jnp.mean(f))
-            bnorm = jnp.sqrt(jnp.sum(b * b))
+            if isinstance(f, jax.core.Tracer):
+                # on-device data-dependent loop (enclosing jit)
+                b = -(f - jnp.mean(f))
+                bnorm = jnp.sqrt(jnp.sum(b * b))
 
-            def cond(state):
-                _, r, _, rs, it = state
-                return jnp.logical_and(it < maxiter,
-                                       jnp.sqrt(rs) > tol * bnorm)
+                def cond(state):
+                    _, _, _, rs, it = state
+                    return jnp.logical_and(it < maxiter,
+                                           jnp.sqrt(rs) > tol * bnorm)
 
-            def body(state):
-                u, r, p, rs, it = state
-                ap = matvec(p)
-                alpha = rs / jnp.sum(p * ap)
-                u = u + alpha * p
-                r = r - alpha * ap
-                rs_new = jnp.sum(r * r)
-                p = r + (rs_new / rs) * p
-                return u, r, p, rs_new, it + 1
+                def body(state):
+                    u, r, p, rs, it = state
+                    u, r, p, rs = jax.lax.fori_loop(0, check_every, step,
+                                                    (u, r, p, rs))
+                    return u, r, p, rs, it + check_every
 
-            u0 = jnp.zeros_like(b)
-            rs0 = jnp.sum(b * b)
-            u, r, _, rs, it = jax.lax.while_loop(
-                cond, body, (u0, b, b, rs0, jnp.int32(0)))
-            u = u - jnp.mean(u)
-            return u, it, jnp.sqrt(rs) / bnorm
+                u0 = jnp.zeros_like(b)
+                rs0 = jnp.sum(b * b)
+                u, r, _, rs, it = jax.lax.while_loop(
+                    cond, body, (u0, b, b, rs0, jnp.int32(0)))
+                return u - jnp.mean(u), it, jnp.sqrt(rs) / bnorm
+
+            # host-driven loop: cached jitted chunk with donated state
+            key = ("cg", tuple(f.shape), str(f.dtype), check_every)
+            fns = self._cache.get(key)
+            if fns is None:
+                @jax.jit
+                def init(v):
+                    b = -(v - jnp.mean(v))
+                    rs0 = jnp.sum(b * b)
+                    return (jnp.zeros_like(b), b, b, rs0), jnp.sqrt(rs0)
+
+                import functools
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def chunk(state):
+                    return jax.lax.fori_loop(0, check_every, step, state)
+
+                @jax.jit
+                def finish(u):
+                    return u - jnp.mean(u)
+
+                fns = (init, chunk, finish)
+                self._cache[key] = fns
+            init, chunk, finish = fns
+            state, bnorm = init(f)
+            bnorm_h = float(bnorm)
+            it = 0
+            while it < maxiter:
+                state = chunk(state)
+                it += check_every
+                rs_h = float(state[3])
+                if np.sqrt(rs_h) <= tol * bnorm_h:
+                    break
+            return (finish(state[0]), it,
+                    float(np.sqrt(rs_h)) / max(bnorm_h, 1e-300))
 
     def jitted(self):
         """Return a jitted solve function with the spectral scale baked in."""
