@@ -184,6 +184,35 @@ def stencil_headline(N=512, ITERS=32, n_trials=3, dt=0.1):
             "value": round(t * 1e3, 3), "unit": "ms"}
 
 
+def cg_headline(N=256, tol=1e-5, maxiter=2000):
+    """Matrix-free CG Poisson solve on the fused-stencil matvec
+    (host-driven chunked loop; BENCH_NOTES.md r4 "CG")."""
+    import time
+    import cudecomp_tpu as cd
+    from cudecomp_tpu.config import GridConfig
+    from cudecomp_tpu.models import PoissonSolver
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    grid = cd.make_grid(GridConfig(gdims=(N, N, N),
+                                   pdims=default_pdims(n_dev)),
+                        devices=devices)
+    solver = PoissonSolver(grid=grid)
+    f = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(3), grid.global_shape(0),
+                          dtype=jnp.float32), grid.sharding(0))
+    solver.solve_cg(f, tol=tol, maxiter=maxiter)  # compile chunk
+    t0 = time.perf_counter()
+    u, iters, rel = solver.solve_cg(f, tol=tol, maxiter=maxiter)
+    wall = time.perf_counter() - t0
+    return {"metric": f"{N}^3 f32 Poisson CG solve (fused-stencil matvec, "
+                      f"tol {tol:g}, {n_dev} "
+                      f"chip{'s' if n_dev > 1 else ''})",
+            "value": round(wall * 1e3, 1), "unit": "ms",
+            "iters": int(iters), "rel_residual": float(rel),
+            "ms_per_iter": round(wall / max(int(iters), 1) * 1e3, 3)}
+
+
 def halo_headline(N=512, width=1, ITERS=32, n_trials=3):
     """Halo-update cost on the x-pencil with ±``width`` halos in all
     distributed dims, periodic — the autotuneHaloBackend trial payload
@@ -256,6 +285,10 @@ def main():
     results.append(r)
 
     r = stencil_headline()
+    print(json.dumps(r))
+    results.append(r)
+
+    r = cg_headline()
     print(json.dumps(r))
     results.append(r)
 

@@ -53,3 +53,5 @@ def test_bench_full_headlines_run_on_cpu():
     assert r["value"] > 0
     r = bench_full.transpose_headline(N=16, n_trials=1, iters=1)
     assert r["value"] > 0
+    r = bench_full.cg_headline(N=16, tol=1e-6, maxiter=200)
+    assert r["value"] > 0 and r["rel_residual"] < 1e-6
