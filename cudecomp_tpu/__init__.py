@@ -55,7 +55,8 @@ from cudecomp_tpu.ops.transpose import (
     transpose_z_to_y,
 )
 from cudecomp_tpu.ops.halo import update_halos
-from cudecomp_tpu.ops.stencil import laplacian7, diffusion_step, halo_map
+from cudecomp_tpu.ops.stencil import (laplacian7, diffusion_step, halo_map,
+                                      stencil_apply)
 from cudecomp_tpu.ops import fft
 from cudecomp_tpu.ops.fft import (DistributedFFT, autotune_fft,
                                   fft3d, ifft3d)
@@ -97,6 +98,7 @@ __all__ = [
     "laplacian7",
     "diffusion_step",
     "halo_map",
+    "stencil_apply",
     "fft",
     "DistributedFFT",
     "autotune_fft",

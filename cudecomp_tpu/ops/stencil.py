@@ -44,7 +44,7 @@ from cudecomp_tpu import geometry
 from cudecomp_tpu.parallel.collectives import shard_map_fn
 from cudecomp_tpu.utils.tracing import trace_range
 
-__all__ = ["laplacian7", "diffusion_step", "halo_map"]
+__all__ = ["laplacian7", "diffusion_step", "halo_map", "stencil_apply"]
 
 
 def _local_extents(grid, axis: int) -> Tuple[int, int, int]:
@@ -161,13 +161,16 @@ def _kernel_eligible(ext, dtype, interpret: bool) -> bool:
     return my % 8 == 0 and mz % 128 == 0 and mx % 8 == 0 and mx >= 16
 
 
-def _pick_bx(mx: int, plane_bytes: int = 0) -> int:
+def _pick_bx(mx: int, plane_bytes: int = 0,
+             cap_bytes: int = 8 * 1024 * 1024) -> int:
     """Largest x-block <= 16 planes dividing the local extent whose block
-    stays under 8 MB (measured: 4.21/4.28/4.47 ms at Bx=16/8/4 at 512^3 —
-    flat — but the 16-plane block's kernel blows the 100 MB Mosaic scoped-
-    vmem stack once the ghost refs and select temporaries are added)."""
+    stays under ``cap_bytes`` (measured: 4.21/4.28/4.47 ms at Bx=16/8/4
+    at 512^3 — flat — but the 16-plane block's kernel blows the 100 MB
+    Mosaic scoped-vmem stack once the ghost refs and select temporaries
+    are added; dense 27-tap kernels crash the remote Mosaic compiler
+    outright at 8 MB blocks and need the 4 MB cap)."""
     for bx in (16, 8, 4, 2, 1):
-        if mx % bx == 0 and bx * max(plane_bytes, 1) <= 8 * 1024 * 1024:
+        if mx % bx == 0 and bx * max(plane_bytes, 1) <= cap_bytes:
             return bx
     return 1
 
@@ -299,8 +302,10 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
     with neighbor data (``width`` may be an int or a per-memory-dim
     triple; dims are extended sequentially, so corner/edge ghosts compose
     exactly like successive reference halo calls), and ``fn`` maps the
-    extended block back to ``(mx, my, mz)``.  Non-periodic edges see zero
-    ghosts (Dirichlet); sharded extents must divide evenly.
+    extended block back to ``(mx, my, mz)``.  Trailing component dims
+    (vector fields, ``(..., C)``) pass through unsharded and unextended —
+    ``fn`` sees and returns them.  Non-periodic edges see zero ghosts
+    (Dirichlet); sharded extents must divide evenly.
 
     This is the generic escape hatch behind :func:`laplacian7` — use it
     for higher-order or anisotropic stencils; the 7-point Laplacian gets
@@ -309,8 +314,9 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
     cfg = grid.config
     if axis not in (0, 1, 2):
         raise ValueError(f"axis out of range: {axis}")
-    if u.ndim != 3:
-        raise ValueError("halo_map expects a plain 3D pencil array")
+    if u.ndim < 3:
+        raise ValueError("halo_map expects a 3D pencil array (plus "
+                         "optional trailing component dims)")
     widths = ((int(width),) * 3 if np.isscalar(width)
               else tuple(int(w) for w in width))
     if len(widths) != 3 or any(w < 0 for w in widths):
@@ -319,11 +325,12 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
     if len(periods) != 3:
         raise ValueError("halo_periods must have length 3")
     expected = grid.global_shape(axis)
-    if tuple(u.shape) != expected:
+    if tuple(u.shape[:3]) != expected:
         raise ValueError(
             f"halo_map: input shape {tuple(u.shape)} does not match the "
             f"halo-free pencil layout {expected}")
-    ext = _local_extents(grid, axis)
+    comp = tuple(u.shape[3:])
+    ext = _local_extents(grid, axis) + comp
     for d in range(3):
         if widths[d] > ext[d]:
             raise ValueError(
@@ -332,6 +339,9 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
     order = cfg.mem_order(axis)
     periods_mem = tuple(periods[order[d]] for d in range(3))
     spec = grid.spec(axis)
+    if comp:
+        from jax.sharding import PartitionSpec
+        spec = PartitionSpec(*spec, *([None] * len(comp)))
     ndev_by_name = dict(grid.mesh.shape)
 
     def local_fn(ul):
@@ -351,6 +361,165 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
     with trace_range(f"cudecomp_tpu.halo_map_axis{axis}"):
         return shard_map_fn(local_fn, grid.mesh, in_specs=(spec,),
                             out_specs=spec)(u)
+
+
+def _stencil27_kernel(cur_ref, prev_ref, next_ref, *refs,
+                      nbx, my, mz, taps, x_ghost):
+    """One-pass weighted 3x3x3 stencil on an x-plane block.
+
+    Valid when the y/z memory dims are local AND periodic (their +/-1
+    neighbors — including all corner combinations — are in-register
+    rolls); the x dim uses the wrapped prev/next plane BlockSpecs, with
+    ghost planes selected at the edge blocks when ``x_ghost`` (sharded
+    or non-periodic x).  ``taps`` is a static tuple of
+    ((dx, dy, dz), weight) with zero weights already dropped."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    refs = list(refs)
+    out_ref = refs.pop()
+    i = pl.program_id(0)
+    cur = cur_ref[...]
+    prev, nxt = prev_ref[...], next_ref[...]
+    if x_ghost:
+        gxlo, gxhi = refs.pop(0), refs.pop(0)
+        prev = jnp.where(i == 0, gxlo[...], prev)
+        nxt = jnp.where(i == nbx - 1, gxhi[...], nxt)
+    used_dx = {dx for (dx, _, _), _ in taps}
+    bases = {0: cur}
+    if -1 in used_dx:
+        bases[-1] = jnp.concatenate([prev, cur[:-1]], axis=0)
+    if +1 in used_dx:
+        bases[+1] = jnp.concatenate([cur[1:], nxt], axis=0)
+
+    # NO shifted-term memoization: caching the up-to-26 shifted blocks
+    # keeps them all live and blows the Mosaic scoped-vmem stack at
+    # 512^3; recomputed rolls are cheap VPU work and each temporary dies
+    # into the accumulator immediately
+    def shift(dx, dy, dz):
+        v = bases[dx]
+        if dy:
+            v = pltpu.roll(v, 1 if dy < 0 else my - 1, 1)
+        if dz:
+            v = pltpu.roll(v, 1 if dz < 0 else mz - 1, 2)
+        return v
+
+    out = None
+    for (dx, dy, dz), w in taps:
+        term = w * shift(dx, dy, dz)
+        out = term if out is None else out + term
+    out_ref[...] = out if out is not None else jnp.zeros_like(cur)
+
+
+def stencil_apply(grid, u, weights, axis: int = 0,
+                  halo_periods=(True, True, True)):
+    """Apply an arbitrary compact 3x3x3 stencil to a halo-free pencil
+    array: ``out[i,j,k] = sum_{d} weights[1+dx,1+dy,1+dz] *
+    u[i+dx, j+dy, k+dz]`` with periodic or Dirichlet-zero boundaries per
+    dim (offsets are in memory order).
+
+    ``weights`` must be a static host array; zero taps cost nothing.
+    When the y/z memory dims are local and periodic (always true on a
+    single shard with periodic boundaries) the whole stencil — corner
+    taps included — runs as ONE fused Pallas HBM pass; otherwise it
+    falls back to the ghost-extended :func:`halo_map` form, which is
+    correct on every mesh.  This generalizes :func:`laplacian7` to any
+    27-point kernel (smoothers, biased differences, 27-point Laplacians).
+    """
+    from cudecomp_tpu.ops.pallas_kernels import _interpret_env
+
+    w = np.asarray(weights, dtype=np.float64)
+    if w.shape != (3, 3, 3):
+        raise ValueError(f"weights must be (3, 3, 3); got {w.shape}")
+    periods = tuple(bool(p) for p in halo_periods)
+    if len(periods) != 3:
+        raise ValueError("halo_periods must have length 3")
+    if axis not in (0, 1, 2):
+        raise ValueError(f"axis out of range: {axis}")
+    if u.ndim != 3:
+        raise ValueError("stencil_apply expects a plain 3D pencil array")
+    expected = grid.global_shape(axis)
+    if tuple(u.shape) != expected:
+        raise ValueError(
+            f"stencil_apply: input shape {tuple(u.shape)} does not match "
+            f"the halo-free pencil layout {expected}")
+
+    cfg = grid.config
+    ext = _local_extents(grid, axis)
+    order = cfg.mem_order(axis)
+    periods_mem = tuple(periods[order[d]] for d in range(3))
+    spec = grid.spec(axis)
+    ndev_by_name = dict(grid.mesh.shape)
+    local = tuple(
+        (spec[d] is None or ndev_by_name.get(spec[d], 1) == 1)
+        for d in range(3))
+    interpret = _interpret_env()
+
+    taps = tuple(
+        ((dx, dy, dz), float(w[1 + dx, 1 + dy, 1 + dz]))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+        if w[1 + dx, 1 + dy, 1 + dz] != 0.0)
+
+    yz_wrap = all(local[d] and periods_mem[d] for d in (1, 2))
+    if (yz_wrap and _kernel_eligible(ext, u.dtype, interpret)):
+        mx, my, mz = ext
+        x_wrap = local[0] and periods_mem[0]
+
+        def local_fn(ul):
+            from jax.experimental.pallas import tpu as pltpu
+            ghosts = _exchange_ghosts(ul, spec, grid.mesh, periods_mem,
+                                      ndev_by_name)
+            # >7 taps: halve the block cap — the dense 27-tap kernel at
+            # 8 MB blocks crashes the remote Mosaic compiler (HTTP 500),
+            # while 4 MB blocks compile and run at 7.2 ms/512^3
+            # (BENCH_NOTES.md r4 "stencil_apply")
+            cap = (8 if len(taps) <= 7 else 4) * 1024 * 1024
+            bx = _pick_bx(mx, my * mz * ul.dtype.itemsize, cap)
+            nbx = mx // bx
+            params = {}
+            if not interpret:
+                params["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024)
+            gspecs, gargs = [], []
+            if not x_wrap:
+                gspecs = [pl.BlockSpec((1, my, mz),
+                                       lambda i: (0, 0, 0))] * 2
+                gargs = [ghosts[0], ghosts[1]]
+            return pl.pallas_call(
+                partial(_stencil27_kernel, nbx=nbx, my=my, mz=mz,
+                        taps=taps, x_ghost=not x_wrap),
+                grid=(nbx,),
+                in_specs=[
+                    pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
+                    pl.BlockSpec((1, my, mz),
+                                 lambda i, bx=bx, mx=mx:
+                                 ((i * bx - 1) % mx, 0, 0)),
+                    pl.BlockSpec((1, my, mz),
+                                 lambda i, bx=bx, mx=mx:
+                                 (((i + 1) * bx) % mx, 0, 0)),
+                ] + gspecs,
+                out_specs=pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct(ul.shape, ul.dtype),
+                interpret=interpret,
+                **params,
+            )(ul, ul, ul, *gargs)
+
+        with trace_range(f"cudecomp_tpu.stencil_apply_axis{axis}"):
+            return shard_map_fn(local_fn, grid.mesh, in_specs=(spec,),
+                                out_specs=spec)(u)
+
+    # generic fallback: ghost-extended shards + shifted-slice sum
+    def fn(ue):
+        out = None
+        for (dx, dy, dz), wv in taps:
+            sl = tuple(slice(1 + o, (1 + o) + n)
+                       for o, n in zip((dx, dy, dz), ext))
+            term = wv * ue[sl]
+            out = term if out is None else out + term
+        if out is None:
+            out = jnp.zeros(ext, u.dtype)
+        return out.astype(u.dtype)
+
+    return halo_map(grid, u, fn, axis, 1, halo_periods)
 
 
 @lru_cache(maxsize=256)

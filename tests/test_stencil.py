@@ -175,6 +175,31 @@ def test_halo_map_scalar_width_and_errors():
         cd.halo_map(grid, u, lambda ue: ue, 0, (1, -1, 0))
 
 
+def test_halo_map_component_dims():
+    # vector field (..., 3): components pass through unextended; each
+    # component sees the same ghost extension as a scalar call
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 4))
+    grid = cd.make_grid(cfg)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((16, 16, 16, 3))
+    u = jnp.stack([cd.scatter_global(grid, x[..., c], 0)
+                   for c in range(3)], axis=-1)
+    periods = (True, False, True)
+
+    def box(ue):
+        return (ue[:-2, 1:-1, 1:-1] + ue[2:, 1:-1, 1:-1]
+                + ue[1:-1, :-2, 1:-1] + ue[1:-1, 2:, 1:-1]
+                + ue[1:-1, 1:-1, :-2] + ue[1:-1, 1:-1, 2:])
+
+    out = cd.halo_map(grid, u, box, 0, 1, periods)
+    for c in range(3):
+        got_c = np.asarray(cd.gather_global(grid, out[..., c], 0))
+        uc = cd.scatter_global(grid, x[..., c], 0)
+        want_c = np.asarray(cd.gather_global(
+            grid, cd.halo_map(grid, uc, box, 0, 1, periods), 0))
+        np.testing.assert_allclose(got_c, want_c, rtol=0, atol=0)
+
+
 def test_halo_map_matches_laplacian7():
     cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 2))
     grid = cd.make_grid(cfg, devices=jax.devices()[:4])
@@ -231,6 +256,84 @@ def test_gradients_self_adjoint(periods):
         np.asarray(cd.gather_global(grid, out_traced, 0)),
         np.asarray(cd.gather_global(grid, out_static, 0)),
         rtol=0, atol=1e-12)
+
+
+def np_stencil27(u, w, periods):
+    ue = np_extend(u, (1, 1, 1), periods)
+    out = np.zeros_like(u, dtype=np.float64)
+    n = u.shape
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                wv = w[1 + dx, 1 + dy, 1 + dz]
+                if wv:
+                    out += wv * ue[1 + dx:1 + dx + n[0],
+                                   1 + dy:1 + dy + n[1],
+                                   1 + dz:1 + dz + n[2]]
+    return out
+
+
+@pytest.mark.parametrize("pdims,periods", [
+    ((2, 4), (True, True, True)),       # fallback (sharded y/z)
+    ((2, 4), (True, False, True)),
+    ((1, 1), (True, True, True)),       # single-shard XLA path on CPU
+])
+def test_stencil_apply_dense_weights(pdims, periods):
+    gdims = (16, 16, 16)
+    grid = cd.make_grid(GridConfig(gdims=gdims, pdims=pdims),
+                        devices=jax.devices()[: pdims[0] * pdims[1]])
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(gdims)
+    w = rng.standard_normal((3, 3, 3))
+    u = cd.scatter_global(grid, x, 0)
+    got = np.asarray(cd.gather_global(
+        grid, cd.stencil_apply(grid, u, w, 0, periods), 0))
+    np.testing.assert_allclose(got, np_stencil27(x, w, periods),
+                               rtol=0, atol=1e-11)
+
+
+@pytest.mark.parametrize("periods", [(True, True, True),
+                                     (False, True, True)])
+def test_stencil_apply_kernel_interpret(periods, monkeypatch):
+    # the fused 27-point kernel (y/z wrap; x wrap or ghost mode)
+    monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+    gdims = (16, 16, 128)
+    grid = cd.make_grid(GridConfig(gdims=gdims, pdims=(1, 1)),
+                        devices=jax.devices()[:1])
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(gdims).astype(np.float32)
+    w = rng.standard_normal((3, 3, 3))
+    w[0, 0, 2] = 0.0  # a zero tap must drop out
+    u = cd.scatter_global(grid, x, 0)
+    got = np.asarray(cd.gather_global(
+        grid, cd.stencil_apply(grid, u, w, 0, periods), 0))
+    np.testing.assert_allclose(got, np_stencil27(x, w, periods),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_stencil_apply_matches_laplacian7():
+    grid = cd.make_grid(GridConfig(gdims=(16, 16, 16), pdims=(2, 2)),
+                        devices=jax.devices()[:4])
+    w = np.zeros((3, 3, 3))
+    w[1, 1, 1] = -6.0
+    for o in ((0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0),
+              (1, 1, 2)):
+        w[o] = 1.0
+    x = np.random.default_rng(10).standard_normal((16, 16, 16))
+    u = cd.scatter_global(grid, x, 0)
+    periods = (True, False, True)
+    a = np.asarray(cd.gather_global(
+        grid, cd.stencil_apply(grid, u, w, 0, periods), 0))
+    b = np.asarray(cd.gather_global(
+        grid, cd.laplacian7(grid, u, 0, periods), 0))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_stencil_apply_rejects_bad_weights():
+    grid = cd.make_grid(GridConfig(gdims=(16, 16, 16), pdims=(2, 4)))
+    u = jnp.zeros((16, 16, 16))
+    with pytest.raises(ValueError, match="3, 3, 3"):
+        cd.stencil_apply(grid, u, np.zeros((3, 3)), 0)
 
 
 def test_kernel_eligibility():
