@@ -245,6 +245,33 @@ class TaylorGreenSolver:
         reference's data files)."""
         return 2.0 * self.nu * self.enstrophy(uh, f)
 
+    def spectrum(self, uh, f, nbins: int = None):
+        """Shell-averaged kinetic-energy spectrum ``E(k)``.
+
+        Bins spectral KE density into integer-``|k|`` shells
+        (``k`` in units of the fundamental, domain ``(2*pi)^3``), with
+        the r2c half-spectrum multiplicity (2 for interior ``kx``
+        planes, 1 for the ``kx=0`` and Nyquist planes).  Parseval-
+        consistent: ``sum(E) == energy(uh)`` to roundoff (padded layout
+        zones hold zero energy so their shell indices are harmless).
+        The standard turbulence diagnostic alongside the reference's
+        energy/dissipation curves (``tg.cu`` outputs;
+        ``docs/tg_validation.md``)."""
+        gd = self.grid.config.gdims
+        if nbins is None:
+            nbins = int(np.ceil(np.sqrt(sum((g // 2) ** 2 for g in gd)))) + 2
+        kx, k2 = f["kx"], f["k2"]
+        shell = jnp.round(jnp.sqrt(k2)).astype(jnp.int32)
+        mult = jnp.where((kx == 0) | (jnp.abs(kx) == gd[0] // 2), 1.0, 2.0)
+        if self.split_complex:
+            e = jnp.sum(uh[0] * uh[0] + uh[1] * uh[1], axis=-1)
+        else:
+            e = jnp.sum(jnp.abs(uh) ** 2, axis=-1)
+        n3 = float(np.prod(gd))
+        dens = 0.5 * mult * e / (n3 * n3)
+        return jax.ops.segment_sum(dens.ravel(), shell.ravel(),
+                                   num_segments=nbins)
+
     def run(self, n_steps: int, dt: float):
         """Convenience driver returning (final uh, energy history)."""
         uh, f = self.setup()

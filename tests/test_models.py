@@ -193,6 +193,32 @@ def test_taylor_green_divergence_free():
            + f["kz"] * uh[..., 2])
     assert float(jnp.max(jnp.abs(div))) < 1e-10
 
+@pytest.mark.parametrize("split_complex", [False, True])
+def test_taylor_green_spectrum(split_complex):
+    gd = (16, 16, 16)
+    grid = make_grid_for(gd, (2, 2))
+    solver = TaylorGreenSolver(grid=grid, nu=0.01,
+                               split_complex=split_complex)
+    uh, f = solver.setup()
+    ek = np.asarray(solver.spectrum(uh, f))
+    # Parseval: the shells sum to the total kinetic energy
+    e_tot = float(solver.energy(uh, f))
+    np.testing.assert_allclose(float(ek.sum()), e_tot, rtol=1e-6)
+    # the TG initial condition is a single |k|^2 = 3 mode family:
+    # all energy sits in the round(sqrt(3)) = 2 shell
+    assert ek[2] > 0.999 * e_tot
+    others = ek.sum() - ek[2]
+    assert others < 1e-3 * e_tot
+    # after a few steps the cascade populates higher shells, energy
+    # stays Parseval-consistent
+    for _ in range(3):
+        uh = solver.step(uh, f, 0.01)
+    ek2 = np.asarray(solver.spectrum(uh, f))
+    np.testing.assert_allclose(float(ek2.sum()),
+                               float(solver.energy(uh, f)), rtol=1e-6)
+    assert ek2[2] < ek2.sum()  # some energy left the initial shell
+
+
 def test_taylor_green_split_complex_matches_complex():
     gd = (16, 16, 16)
     grid = make_grid_for(gd, (2, 2))
