@@ -111,7 +111,9 @@ class PoissonSolver:
         the discrete operator's own rhs the CG solution is exact to
         ``tol``).  CG is valid because the operator is symmetric (the
         same self-adjointness the stencil VJP relies on) and PSD on the
-        mean-zero subspace.  Requires uniform grid spacing across dims.
+        mean-zero subspace.  Anisotropic spacings use a weighted 7-tap
+        ``stencil_apply`` matvec (``1/h_d^2`` per dim); uniform spacings
+        keep the fused ``laplacian7`` kernel.
 
         The convergence test runs once per ``check_every`` iterations.
         Eagerly-called solves drive the loop from the HOST over a jitted
@@ -132,19 +134,33 @@ class PoissonSolver:
         Returns ``(u, iters, rel_residual)`` (Python scalars when called
         eagerly).
         """
-        from cudecomp_tpu.ops.stencil import laplacian7
+        from cudecomp_tpu.ops.stencil import laplacian7, stencil_apply
         cfg = self.grid.config
         hs = [self.lengths[d] / cfg.gdims[d] for d in range(3)]
-        if not np.allclose(hs, hs[0]):
-            raise ValueError(
-                f"solve_cg requires uniform spacing; got {hs} "
-                f"(use the spectral solve for anisotropic grids)")
-        inv_h2 = 1.0 / (hs[0] * hs[0])
         periods = (True, True, True)
         check_every = max(1, min(int(check_every), int(maxiter)))
 
-        def matvec(v):
-            return (-inv_h2) * laplacian7(self.grid, v, 0, periods)
+        if np.allclose(hs, hs[0]):
+            inv_h2 = 1.0 / (hs[0] * hs[0])
+
+            def matvec(v):
+                return (-inv_h2) * laplacian7(self.grid, v, 0, periods)
+        else:
+            # anisotropic 7-point weights, laid out in MEMORY order
+            # (stencil offsets are memory-dim offsets)
+            order = cfg.mem_order(0)
+            w = np.zeros((3, 3, 3))
+            for d in range(3):
+                inv = 1.0 / (hs[order[d]] ** 2)
+                idx_lo = [1, 1, 1]
+                idx_hi = [1, 1, 1]
+                idx_lo[d], idx_hi[d] = 0, 2
+                w[tuple(idx_lo)] = w[tuple(idx_hi)] = inv
+                w[1, 1, 1] -= 2.0 * inv
+            w = -w  # matvec is -lap (PSD)
+
+            def matvec(v):
+                return stencil_apply(self.grid, v, w, 0, periods)
 
         def step(_, st):
             u, r, p, rs = st

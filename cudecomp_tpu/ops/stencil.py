@@ -424,13 +424,43 @@ def stencil_apply(grid, u, weights, axis: int = 0,
     falls back to the ghost-extended :func:`halo_map` form, which is
     correct on every mesh.  This generalizes :func:`laplacian7` to any
     27-point kernel (smoothers, biased differences, 27-point Laplacians).
-    """
-    from cudecomp_tpu.ops.pallas_kernels import _interpret_env
 
+    Differentiable: the VJP of a linear stencil is the stencil with
+    reflected offsets (``w[-o]``) — exact for periodic wrap and for
+    Dirichlet zero ghosts alike (the zero-ghost operator's matrix
+    transpose), so the backward pass is one fused apply too.
+    """
     w = np.asarray(weights, dtype=np.float64)
     if w.shape != (3, 3, 3):
         raise ValueError(f"weights must be (3, 3, 3); got {w.shape}")
     periods = tuple(bool(p) for p in halo_periods)
+    return _stencil_apply_fn(grid, axis, periods, w.tobytes())(u)
+
+
+@lru_cache(maxsize=256)
+def _stencil_apply_fn(grid, axis, periods, w_bytes: bytes):
+    """Cached differentiable apply for one (grid, weights) configuration;
+    adjoint = reflected taps (see :func:`stencil_apply`)."""
+    w = np.frombuffer(w_bytes, dtype=np.float64).reshape(3, 3, 3)
+    w_adj = w[::-1, ::-1, ::-1]
+
+    @jax.custom_vjp
+    def f(u):
+        return _stencil_apply_impl(grid, u, w, axis, periods)
+
+    def fwd(u):
+        return f(u), None
+
+    def bwd(_, g):
+        return (_stencil_apply_fn(grid, axis, periods, w_adj.tobytes())(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _stencil_apply_impl(grid, u, w, axis, periods):
+    from cudecomp_tpu.ops.pallas_kernels import _interpret_env
+
     if len(periods) != 3:
         raise ValueError("halo_periods must have length 3")
     if axis not in (0, 1, 2):
@@ -519,7 +549,7 @@ def stencil_apply(grid, u, weights, axis: int = 0,
             out = jnp.zeros(ext, u.dtype)
         return out.astype(u.dtype)
 
-    return halo_map(grid, u, fn, axis, 1, halo_periods)
+    return halo_map(grid, u, fn, axis, 1, periods)
 
 
 @lru_cache(maxsize=256)

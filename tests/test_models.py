@@ -75,11 +75,29 @@ def test_poisson_cg_matches_spectral_to_truncation():
     assert float(rel) < 1e-9
 
 
-def test_poisson_cg_rejects_anisotropic():
-    grid = make_grid_for((16, 16, 16), (1, 1))
-    solver = PoissonSolver(grid=grid, lengths=(2 * np.pi, np.pi, 2 * np.pi))
-    with pytest.raises(ValueError, match="uniform spacing"):
-        solver.solve_cg(jnp.zeros((16, 16, 16)))
+def test_poisson_cg_anisotropic():
+    # anisotropic spacings: build the rhs from the anisotropic discrete
+    # operator so the CG solve is exact to tolerance
+    n = 16
+    lengths = (2 * np.pi, np.pi, 4 * np.pi)
+    grid = make_grid_for((n, n, n), (2, 2))
+    solver = PoissonSolver(grid=grid, lengths=lengths)
+    rng = np.random.default_rng(12)
+    u_true = rng.standard_normal((n, n, n))
+    u_true -= u_true.mean()
+    ub = cd.scatter_global(grid, u_true, 0)
+    w = np.zeros((3, 3, 3))
+    for d in range(3):
+        inv = 1.0 / (lengths[d] / n) ** 2
+        lo, hi = [1, 1, 1], [1, 1, 1]
+        lo[d], hi[d] = 0, 2
+        w[tuple(lo)] = w[tuple(hi)] = inv
+        w[1, 1, 1] -= 2.0 * inv
+    fb = cd.stencil_apply(grid, ub, w, 0, (True, True, True))
+    u, iters, rel = solver.solve_cg(fb, tol=1e-10, maxiter=4000)
+    assert float(rel) < 1e-9
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, u, 0)),
+                               u_true, rtol=0, atol=1e-6)
 
 
 def test_poisson_split_complex_plane_path():

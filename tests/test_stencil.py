@@ -329,6 +329,25 @@ def test_stencil_apply_matches_laplacian7():
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("periods", [(True, True, True),
+                                     (True, False, True)])
+def test_stencil_apply_gradient_reflected_adjoint(periods):
+    # VJP of a linear stencil = stencil with reflected offsets
+    grid = cd.make_grid(GridConfig(gdims=(16, 16, 16), pdims=(2, 4)))
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((16, 16, 16))
+    cw = rng.standard_normal((16, 16, 16))
+    w = rng.standard_normal((3, 3, 3))
+    u = cd.scatter_global(grid, x, 0)
+    cv = cd.scatter_global(grid, cw, 0)
+    g = jax.grad(lambda v: jnp.sum(
+        cd.stencil_apply(grid, v, w, 0, periods) * cv))(u)
+    want = cd.stencil_apply(grid, cv, w[::-1, ::-1, ::-1], 0, periods)
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, g, 0)),
+                               np.asarray(cd.gather_global(grid, want, 0)),
+                               rtol=0, atol=1e-11)
+
+
 def test_stencil_apply_rejects_bad_weights():
     grid = cd.make_grid(GridConfig(gdims=(16, 16, 16), pdims=(2, 4)))
     u = jnp.zeros((16, 16, 16))
