@@ -364,14 +364,17 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
 
 
 def _stencil27_kernel(cur_ref, prev_ref, next_ref, *refs,
-                      nbx, my, mz, taps, x_ghost):
+                      nbx, my, mz, taps, wrap):
     """One-pass weighted 3x3x3 stencil on an x-plane block.
 
-    Valid when the y/z memory dims are local AND periodic (their +/-1
-    neighbors — including all corner combinations — are in-register
-    rolls); the x dim uses the wrapped prev/next plane BlockSpecs, with
-    ghost planes selected at the edge blocks when ``x_ghost`` (sharded
-    or non-periodic x).  ``taps`` is a static tuple of
+    Dims in ``wrap`` mode (local AND periodic) shift by in-register
+    rolls — corner combinations among wrap dims compose for free.  The
+    x dim additionally supports ghost mode at any tap (its ghost plane
+    rides inside the block concat, so wrap-dim y/z rolls of corner taps
+    shift it correctly).  Ghost-mode y/z dims are supported for PURE
+    face taps only (single nonzero offset — the ghost plane of ``cur``
+    is the right select value only when no other shift applies); the
+    dispatch excludes everything else.  ``taps`` is a static tuple of
     ((dx, dy, dz), weight) with zero weights already dropped."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -380,10 +383,12 @@ def _stencil27_kernel(cur_ref, prev_ref, next_ref, *refs,
     i = pl.program_id(0)
     cur = cur_ref[...]
     prev, nxt = prev_ref[...], next_ref[...]
-    if x_ghost:
+    if not wrap[0]:
         gxlo, gxhi = refs.pop(0), refs.pop(0)
         prev = jnp.where(i == 0, gxlo[...], prev)
         nxt = jnp.where(i == nbx - 1, gxhi[...], nxt)
+    gy = None if wrap[1] else (refs.pop(0), refs.pop(0))
+    gz = None if wrap[2] else (refs.pop(0), refs.pop(0))
     used_dx = {dx for (dx, _, _), _ in taps}
     bases = {0: cur}
     if -1 in used_dx:
@@ -399,8 +404,16 @@ def _stencil27_kernel(cur_ref, prev_ref, next_ref, *refs,
         v = bases[dx]
         if dy:
             v = pltpu.roll(v, 1 if dy < 0 else my - 1, 1)
+            if gy is not None:
+                iy = lax.broadcasted_iota(jnp.int32, v.shape, 1)
+                v = jnp.where(iy == (0 if dy < 0 else my - 1),
+                              gy[0 if dy < 0 else 1][...], v)
         if dz:
             v = pltpu.roll(v, 1 if dz < 0 else mz - 1, 2)
+            if gz is not None:
+                iz = lax.broadcasted_iota(jnp.int32, v.shape, 2)
+                v = jnp.where(iz == (0 if dz < 0 else mz - 1),
+                              gz[0 if dz < 0 else 1][...], v)
         return v
 
     out = None
@@ -418,12 +431,16 @@ def stencil_apply(grid, u, weights, axis: int = 0,
     dim (offsets are in memory order).
 
     ``weights`` must be a static host array; zero taps cost nothing.
-    When the y/z memory dims are local and periodic (always true on a
-    single shard with periodic boundaries) the whole stencil — corner
-    taps included — runs as ONE fused Pallas HBM pass; otherwise it
-    falls back to the ghost-extended :func:`halo_map` form, which is
-    correct on every mesh.  This generalizes :func:`laplacian7` to any
-    27-point kernel (smoothers, biased differences, 27-point Laplacians).
+    The stencil runs as ONE fused Pallas HBM pass whenever every tap is
+    servable: wrap-mode dims (local + periodic) compose freely — corner
+    taps included — and ghost-mode (sharded or non-periodic) dims are
+    servable for x at any tap and for y/z at pure face taps.  In
+    particular every FACE-ONLY tap set (7-point Laplacians, anisotropic
+    differences) fuses on ANY mesh; dense corner sets fuse when y/z are
+    local+periodic.  Everything else falls back to the ghost-extended
+    :func:`halo_map` form, correct everywhere.  This generalizes
+    :func:`laplacian7` to any 27-point kernel (smoothers, biased
+    differences, 27-point Laplacians).
 
     Differentiable: the VJP of a linear stencil is the stencil with
     reflected offsets (``w[-o]``) — exact for periodic wrap and for
@@ -489,10 +506,21 @@ def _stencil_apply_impl(grid, u, w, axis, periods):
         for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
         if w[1 + dx, 1 + dy, 1 + dz] != 0.0)
 
-    yz_wrap = all(local[d] and periods_mem[d] for d in (1, 2))
-    if (yz_wrap and _kernel_eligible(ext, u.dtype, interpret)):
+    wrap = tuple(local[d] and periods_mem[d] for d in range(3))
+
+    def tap_ok(dx, dy, dz):
+        # wrap dims compose freely (rolls), and an x-ghost plane rides
+        # inside the block concat so wrap-dim rolls shift it too; a
+        # GHOST-mode y/z dim is only servable by a select of cur's own
+        # ghost plane, which is correct only for pure face taps
+        nz = [d for d, o in enumerate((dx, dy, dz)) if o]
+        gyz = [d for d in nz if d in (1, 2) and not wrap[d]]
+        return not gyz or (len(gyz) == 1 and len(nz) == 1)
+
+    kernel_ok = (all(tap_ok(*off) for off, _ in taps)
+                 and _kernel_eligible(ext, u.dtype, interpret))
+    if kernel_ok:
         mx, my, mz = ext
-        x_wrap = local[0] and periods_mem[0]
 
         def local_fn(ul):
             from jax.experimental.pallas import tpu as pltpu
@@ -510,13 +538,21 @@ def _stencil_apply_impl(grid, u, w, axis, periods):
                 params["compiler_params"] = pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024)
             gspecs, gargs = [], []
-            if not x_wrap:
-                gspecs = [pl.BlockSpec((1, my, mz),
-                                       lambda i: (0, 0, 0))] * 2
-                gargs = [ghosts[0], ghosts[1]]
+            if not wrap[0]:
+                gspecs += [pl.BlockSpec((1, my, mz),
+                                        lambda i: (0, 0, 0))] * 2
+                gargs += [ghosts[0], ghosts[1]]
+            if not wrap[1]:
+                gspecs += [pl.BlockSpec((bx, 1, mz),
+                                        lambda i: (i, 0, 0))] * 2
+                gargs += [ghosts[2], ghosts[3]]
+            if not wrap[2]:
+                gspecs += [pl.BlockSpec((bx, my, 1),
+                                        lambda i: (i, 0, 0))] * 2
+                gargs += [ghosts[4], ghosts[5]]
             return pl.pallas_call(
                 partial(_stencil27_kernel, nbx=nbx, my=my, mz=mz,
-                        taps=taps, x_ghost=not x_wrap),
+                        taps=taps, wrap=wrap),
                 grid=(nbx,),
                 in_specs=[
                     pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),

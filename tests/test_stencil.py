@@ -348,6 +348,38 @@ def test_stencil_apply_gradient_reflected_adjoint(periods):
                                rtol=0, atol=1e-11)
 
 
+def test_stencil_apply_kernel_sharded_face_taps(monkeypatch):
+    # face-only tap sets fuse on real meshes: sharded y/z run the kernel
+    # with ghost-plane selects (interpret mode)
+    monkeypatch.setenv("CUDECOMP_TPU_PALLAS_INTERPRET", "1")
+    gdims = (16, 16, 512)
+    pdims = (2, 4)
+    grid = cd.make_grid(GridConfig(gdims=gdims, pdims=pdims))
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal(gdims).astype(np.float32)
+    w = np.zeros((3, 3, 3))
+    # anisotropic 7-point (face taps only)
+    w[0, 1, 1] = w[2, 1, 1] = 1.0
+    w[1, 0, 1] = w[1, 2, 1] = 2.5
+    w[1, 1, 0] = w[1, 1, 2] = 0.5
+    w[1, 1, 1] = -8.0
+    u = cd.scatter_global(grid, x, 0)
+    # poison the fallback: these configs MUST take the fused kernel
+    from cudecomp_tpu.ops import stencil as st
+
+    def _no_fallback(*a, **k):
+        raise AssertionError("face-tap set took the halo_map fallback")
+
+    monkeypatch.setattr(st, "halo_map", _no_fallback)
+    st._stencil_apply_fn.cache_clear()
+    for periods in ((True, True, True), (True, False, True)):
+        got = np.asarray(cd.gather_global(
+            grid, cd.stencil_apply(grid, u, w, 0, periods), 0))
+        np.testing.assert_allclose(got, np_stencil27(x, w, periods),
+                                   rtol=2e-5, atol=2e-4)
+    st._stencil_apply_fn.cache_clear()
+
+
 def test_stencil_apply_rejects_bad_weights():
     grid = cd.make_grid(GridConfig(gdims=(16, 16, 16), pdims=(2, 4)))
     u = jnp.zeros((16, 16, 16))
