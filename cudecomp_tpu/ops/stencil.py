@@ -40,7 +40,6 @@ import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 
-from cudecomp_tpu import geometry
 from cudecomp_tpu.parallel.collectives import shard_map_fn
 from cudecomp_tpu.utils.tracing import trace_range
 
