@@ -357,21 +357,20 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
                     lambda a, op=op: op(grid, a, method=m) * 1.0000001, xo,
                     iters=iters, n_warmup=n_warmup, n_trials=n_trials)))
         else:
-            # non-cubic: ops change buffer shape, so scanning is
-            # impossible; time one-shot dispatches and compensate with a
-            # measured tiny-program baseline (dispatch+fetch latency)
-            tiny = jax.device_put(np.zeros((8, 128), dtype),
-                                  grid.mesh.devices.flat[0])
-            base, _ = time_fn(lambda a: a * 1.0000001, tiny,
-                              n_warmup=n_warmup, n_trials=n_trials,
-                              reduce="min")
-            for op, in_ax in ops:
+            # non-cubic: ops change buffer shape, so they cannot scan on
+            # their own carry; time each via the scalar-feedback scan
+            # (amortizes the dispatch round trip, which would otherwise
+            # swamp sub-ms ops on remote runtimes — see
+            # time_scanned_shapechange)
+            outs = [1, 2, 1, 0]  # output pencil axis of each cycle op
+            for (op, in_ax), o_ax in zip(ops, outs):
                 xo = jax.device_put(np.zeros(grid.global_shape(in_ax),
                                              dtype), grid.sharding(in_ax))
-                t_op, _ = time_fn(lambda a, op=op: op(grid, a, method=m),
-                                  xo, n_warmup=n_warmup,
-                                  n_trials=n_trials, reduce="min")
-                total += max(t_op - base, 0.0)
+                total += float(np.min(time_scanned_shapechange(
+                    lambda a, op=op: op(grid, a, method=m), xo,
+                    grid.global_shape(o_ax), iters=max(iters, 8),
+                    n_warmup=n_warmup, n_trials=n_trials,
+                    device=grid.mesh.devices.flat[0])))
         local, a2a = total, 0.0
     else:
         # Chained round trip = what a real pipeline sees (adjacent ops may
@@ -523,6 +522,70 @@ class ScannedTimer:
             float(self._run(self.x))
             times.append((time.perf_counter() - t0) / self.iters)
         return times
+
+
+def time_scanned_shapechange(op, x, out_shape, *, iters: int = 8,
+                             n_warmup: int = 2, n_trials: int = 5,
+                             device=None) -> List[float]:
+    """Scan-amortized timing of a shape-CHANGING op on one chip.
+
+    A shape-changing op cannot be scanned on its own carry (the output
+    does not feed the next input), and one-shot dispatch timing carries
+    the full tunnel round-trip latency (~25-35 ms on remote runtimes) as
+    noise on every sub-ms measurement.  This program instead scans a
+    scalar carry ``s`` that is fed back into the operand
+    (``x * (1 + 1e-12 * s)``) so the op's input genuinely depends on the
+    previous iteration — XLA cannot hoist the loop-invariant op out of
+    the scan — and reduces each output against a runtime-argument weight
+    tensor (``sum(y * w)``), which the algebraic simplifier cannot
+    constant-fold through the permutation (``w`` is a device buffer, and
+    relocating the transpose onto ``w`` costs the same pass; a bare
+    ``sum(y)`` WOULD fold, since a full reduce of a permutation is
+    permutation-invariant).  The carry/reduce overhead is measured by a
+    twin scan without the op and subtracted, so the residual bias is a
+    fraction of one elementwise pass rather than a dispatch round trip —
+    the per-op analog of the reference's CUDA-event pairs
+    (``performance.cc:391``) for ops the cubic scanning path cannot time.
+
+    Returns per-iteration seconds per trial (clamped at >= 0).
+    """
+    dt = x.dtype
+    device = device if device is not None else jax.devices()[0]
+    w = jax.device_put(np.ones(out_shape, dt), device)
+    wx = jax.device_put(np.ones(x.shape, dt), device)
+
+    def timed(run_op):
+        run = _shapechange_scan_fn(op, dt, iters, run_op)
+        for _ in range(n_warmup):
+            float(run(x, w, wx))
+        ts = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            float(run(x, w, wx))
+            ts.append((time.perf_counter() - t0) / iters)
+        return ts
+
+    with_op = timed(True)
+    base = float(np.min(timed(False)))
+    return [max(t - base, 0.0) for t in with_op]
+
+
+def _shapechange_scan_fn(op, dt, iters: int, run_op: bool):
+    """The jitted scalar-feedback scan program behind
+    ``time_scanned_shapechange`` (factored out so tests can inspect its
+    optimized HLO and assert the op survives compilation)."""
+
+    @jax.jit
+    def run(v, wo, wi):
+        def body(s, _):
+            vi = v * (1 + 1e-12 * s)
+            if run_op:
+                return jnp.sum(op(vi) * wo), ()
+            return jnp.sum(vi * wi), ()
+        out, _ = lax.scan(body, jnp.zeros((), dt), None, length=iters)
+        return completion_scalar(out)
+
+    return run
 
 
 def time_scanned(fn, x, *, iters: int = 2, n_warmup: int = 2,

@@ -190,3 +190,40 @@ def test_segment_roundtrip_mixed_on_cpu_takes_per_op_branch(monkeypatch):
                                      n_warmup=1, n_trials=2, record=False)
     # same branch, same program content: within a generous noise factor
     assert seg_mixed["total_ms"] > 0.3 * seg_xla["total_ms"]
+
+
+def test_segment_roundtrip_single_chip_noncubic_scanned(monkeypatch):
+    # non-cubic single chip: ops change buffer shape, so the scalar-
+    # feedback scan path must be taken and return finite non-negative
+    # per-op-summed totals with a2a zero
+    from cudecomp_tpu import performance as perf
+
+    monkeypatch.setenv("CUDECOMP_TPU_LOCAL_PERMUTE", "xla")
+    cfg = GridConfig(gdims=(24, 16, 8), pdims=(1, 1),
+                     transpose_axis_contiguous=(True, True, True))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:1])
+    seg = perf.segment_roundtrip(grid, np.float32, iters=2, n_warmup=1,
+                                 n_trials=1, record=False)
+    assert np.isfinite(seg["total_ms"]) and seg["total_ms"] >= 0
+    assert seg["a2a_ms"] == 0.0
+
+
+def test_shapechange_scan_program_keeps_the_op():
+    # the whole point of the scalar-feedback + weighted-reduce design:
+    # XLA must not hoist the loop-invariant op out of the scan nor fold
+    # the reduce through the permutation.  Compile the program for a bare
+    # jnp.transpose op and assert a transpose/copy survives in the
+    # optimized HLO (a folded program would contain neither: a full
+    # reduce of a permutation is permutation-invariant).
+    from cudecomp_tpu.performance import _shapechange_scan_fn
+
+    op = lambda v: jnp.transpose(v, (1, 2, 0))
+    x = jnp.zeros((24, 16, 8), np.float32)
+    w = jnp.ones((16, 8, 24), np.float32)
+    wx = jnp.ones((24, 16, 8), np.float32)
+    run = _shapechange_scan_fn(op, np.float32, 4, True)
+    txt = run.lower(x, w, wx).compile().as_text()
+    assert ("transpose" in txt) or ("copy" in txt)
+    # and the baseline twin must NOT contain the op
+    base = _shapechange_scan_fn(op, np.float32, 4, False)
+    float(base(x, w, wx))  # compiles and runs
