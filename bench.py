@@ -131,7 +131,12 @@ def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
     return payload
 
 
+class _WatchdogTimeout(RuntimeError):
+    pass
+
+
 if __name__ == "__main__":
+    import signal
     import sys
     import time
     kw = {}
@@ -141,13 +146,37 @@ if __name__ == "__main__":
         kw["ITERS"] = int(sys.argv[2])
     # The axon tunnel occasionally enters transient bad states
     # (FAILED_PRECONDITION on every program, then recovers — BENCH_NOTES.md
-    # "runtime quirks"); retry so a transient doesn't cost the headline.
+    # "runtime quirks") and can also WEDGE (every dispatch hangs instead of
+    # erroring); a per-attempt SIGALRM watchdog converts hangs into
+    # retryable failures so a wedged server costs minutes, not the round.
+    watchdog_s = int(os.environ.get("CUDECOMP_TPU_BENCH_WATCHDOG_S", "1500"))
+
+    def _on_alarm(signum, frame):
+        raise _WatchdogTimeout(f"bench attempt exceeded {watchdog_s}s "
+                               "(wedged backend?)")
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    # SIGALRM only fires between Python bytecodes; a hang inside a native
+    # gRPC wait never returns to the interpreter, so a daemon timer thread
+    # force-exits as the last resort (nonzero exit beats an infinite hang).
+    import threading
+
+    def _hard_kill():
+        print("bench: hard watchdog fired (backend wedged)", file=sys.stderr)
+        os._exit(17)
+
+    killer = threading.Timer(3 * watchdog_s + 300, _hard_kill)
+    killer.daemon = True
+    killer.start()
     last = None
     for attempt in range(3):
         try:
+            signal.alarm(watchdog_s)
             main(**kw)
+            signal.alarm(0)
             break
         except Exception as e:  # noqa: BLE001 — deliberate retry boundary
+            signal.alarm(0)
             last = e
             print(f"bench attempt {attempt + 1} failed: {e!r}",
                   file=sys.stderr)
