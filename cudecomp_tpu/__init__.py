@@ -60,6 +60,8 @@ from cudecomp_tpu.ops.stencil import (laplacian7, diffusion_step, halo_map,
 from cudecomp_tpu.ops import fft
 from cudecomp_tpu.ops.fft import (DistributedFFT, autotune_fft,
                                   fft3d, ifft3d)
+from cudecomp_tpu.ops.spectral import (SpectralOperators, wavenumber_fields,
+                                       dealias_mask)
 from cudecomp_tpu.autotune import autotune, AutotuneResult
 from cudecomp_tpu import performance
 from cudecomp_tpu.performance import (perf_report_enable, profile_trace,
@@ -103,6 +105,9 @@ __all__ = [
     "DistributedFFT",
     "autotune_fft",
     "fft3d",
+    "SpectralOperators",
+    "wavenumber_fields",
+    "dealias_mask",
     "ifft3d",
     "autotune",
     "AutotuneResult",
