@@ -48,3 +48,18 @@ def test_heatmap_plotting(tmp_path):
         sys.argv = argv
     pngs = list(outdir.glob("*.png"))
     assert len(pngs) == 1
+
+
+def test_spectral_ops_example_runs():
+    # example smoke: the public SpectralOperators walkthrough must execute
+    # end-to-end on the virtual mesh and pass its own closed-form asserts
+    import runpy
+    import sys
+    argv = sys.argv
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "spectral_ops.py")
+    sys.argv = ["spectral_ops.py"]
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = argv
