@@ -25,22 +25,11 @@ import jax.numpy as jnp
 
 from cudecomp_tpu.grid import GridDescriptor
 from cudecomp_tpu.ops.fft import DistributedFFT
+from cudecomp_tpu.ops.spectral import SpectralOperators
 from cudecomp_tpu.utils.arrays import scatter_global
 from cudecomp_tpu.utils.tracing import trace_range
 
 
-def _spectral_axis_fields(cgrid, gdims_phys):
-    """(kx, ky, kz) wavenumber fields in the spectral Z-pencil padded layout."""
-    ks = []
-    for d in range(3):
-        n = gdims_phys[d]
-        k = np.fft.fftfreq(n, d=1.0 / n)
-        if d == 0:
-            k = k[: n // 2 + 1]
-        ks.append(k)
-    kx, ky, kz = np.meshgrid(*ks, indexing="ij")
-    return tuple(scatter_global(cgrid, a.astype(np.float64), 2)
-                 for a in (kx, ky, kz))
 
 
 def taylor_green_velocity(gdims):
@@ -83,23 +72,12 @@ class TaylorGreenSolver:
         """Elementwise op over the state pytree (plain array or plane pair)."""
         return jax.tree_util.tree_map(fn, *xs)
 
-    def _mul_i(self, w):
-        """i * w on the spectral state."""
-        if self.split_complex:
-            return (-w[1], w[0])
-        return 1j * w
-
-    def _kmul(self, k, u):
-        """real wavenumber field k (...,) times component field u."""
-        return self._t(lambda a: k * a, u)
-
     def setup(self):
         """Returns (spectral state uh, static fields dict).  uh has shape
         (..., 3) complex, or is a ((..., 3), (..., 3)) (re, im) plane pair
         in split-complex mode."""
         plan = DistributedFFT(grid=self.grid, real=True,
                               split_complex=self.split_complex)
-        cgrid = plan.complex_grid
         gd = self.grid.config.gdims
         u0 = taylor_green_velocity(gd)
         u = jnp.stack([scatter_global(self.grid, c, 0) for c in u0], axis=-1)
@@ -107,59 +85,38 @@ class TaylorGreenSolver:
             u = u.astype(jnp.float32) if jax.default_backend() not in (
                 "cpu",) else u
         uh = plan.forward_planes(u) if self.split_complex else plan.forward(u)
-        kx, ky, kz = _spectral_axis_fields(cgrid, gd)
-        k2 = kx * kx + ky * ky + kz * kz
-        inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+        # spectral calculus comes from the shared operator library; f64
+        # host construction downcasts to f32 on runtimes without x64
+        # (device_put), matching the velocity state's precision there
+        sops = SpectralOperators(plan=plan, dtype=np.float64)
+        kx, ky, kz = sops.wavenumbers()
+        k2 = sops.k_squared()
         if self.dealias:
-            mask = jnp.ones_like(k2, dtype=bool)
-            for k, n in ((kx, gd[0]), (ky, gd[1]), (kz, gd[2])):
-                mask = mask & (jnp.abs(k) < (n // 2) * (2.0 / 3.0))
+            mask = sops.mask() > 0
         else:
             mask = jnp.ones_like(k2, dtype=bool)
         # zero the k=0 mode of the nonlinear term: mean velocity is conserved
         mask = (mask & (k2 > 0)).astype(k2.dtype)
-        fields = dict(kx=kx, ky=ky, kz=kz, k2=k2, inv_k2=inv_k2, mask=mask,
-                      plan=plan)
+        fields = dict(kx=kx, ky=ky, kz=kz, k2=k2,
+                      inv_k2=sops.inv_k_squared(), mask=mask,
+                      plan=plan, sops=sops)
         return uh, fields
 
     # -- spectral operators ----------------------------------------------------
-    # velocity components live at index -1 of each plane / complex array
-
-    def _comp(self, uh, c):
-        return self._t(lambda a: a[..., c], uh)
-
-    def _stack_comps(self, comps):
-        if self.split_complex:
-            return tuple(jnp.stack([c[j] for c in comps], axis=-1)
-                         for j in (0, 1))
-        return jnp.stack(comps, axis=-1)
+    # velocity components live at index -1 of each plane / complex array;
+    # curl / projection / dealiasing come from ops.spectral (the shared
+    # operator library this solver's inline versions were promoted into)
 
     def _inverse(self, plan, xh):
         return (plan.inverse_planes(xh) if self.split_complex
                 else plan.inverse(xh))
 
     def _curl_hat(self, uh, f):
-        kx, ky, kz = f["kx"], f["ky"], f["kz"]
-        sub = lambda a, b: self._t(jnp.subtract, a, b)
-        u0, u1, u2 = (self._comp(uh, c) for c in range(3))
-        wx = sub(self._kmul(ky, u2), self._kmul(kz, u1))
-        wy = sub(self._kmul(kz, u0), self._kmul(kx, u2))
-        wz = sub(self._kmul(kx, u1), self._kmul(ky, u0))
-        return self._stack_comps([self._mul_i(wx), self._mul_i(wy),
-                                  self._mul_i(wz)])
+        return f["sops"].curl(uh)
 
     def _project(self, nh, f):
         """Leray projection: nh - k (k . nh) / k^2."""
-        kx, ky, kz = f["kx"], f["ky"], f["kz"]
-        add = lambda a, b: self._t(jnp.add, a, b)
-        sub = lambda a, b: self._t(jnp.subtract, a, b)
-        n0, n1, n2 = (self._comp(nh, c) for c in range(3))
-        div = add(add(self._kmul(kx, n0), self._kmul(ky, n1)),
-                  self._kmul(kz, n2))
-        s = self._kmul(f["inv_k2"], div)
-        return self._stack_comps([sub(n0, self._kmul(kx, s)),
-                                  sub(n1, self._kmul(ky, s)),
-                                  sub(n2, self._kmul(kz, s))])
+        return f["sops"].project_solenoidal(nh)
 
     def _nonlinear(self, uh, f):
         """Projected, dealiased nonlinear term u x omega (rotational form)."""

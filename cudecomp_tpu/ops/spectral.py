@@ -131,6 +131,17 @@ class SpectralOperators:
             self._cache["k2"] = got
         return got
 
+    def inv_k_squared(self):
+        """Cached ``1/|k|^2`` with the zero mode pinned to 0 (the Leray /
+        Poisson scaling field), materialized once so traced pipelines
+        multiply by a constant instead of re-deriving the division."""
+        got = self._cache.get("inv_k2")
+        if got is None:
+            k2 = self.k_squared()
+            got = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+            self._cache["inv_k2"] = got
+        return got
+
     def mask(self, fraction: float = 2.0 / 3.0):
         """Cached dealias mask for ``fraction``."""
         got = self._cache.get(("mask", fraction))
@@ -223,8 +234,7 @@ class SpectralOperators:
         pressure projection of incompressible pseudo-spectral solvers;
         ``tg.cu`` inlines the same operator)."""
         kx, ky, kz = self.wavenumbers()
-        k2 = self.k_squared()
-        inv_k2 = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
+        inv_k2 = self.inv_k_squared()
         add = lambda a, b: self._t(jnp.add, a, b)
         sub = lambda a, b: self._t(jnp.subtract, a, b)
         v0, v1, v2 = (self._comp(vh, c) for c in range(3))
