@@ -24,27 +24,6 @@ from cudecomp_tpu.ops.fft import DistributedFFT
 from cudecomp_tpu.utils.tracing import trace_range
 
 
-def wavenumber_field(cgrid: GridDescriptor, gdims_phys, lengths,
-                     rfft_x: bool, power: int = 2):
-    """Host-built |k|^power in the spectral Z-pencil padded layout.
-
-    ``gdims_phys`` are the physical grid extents (pre-r2c); ``lengths`` the
-    domain lengths (2*pi for unit wavenumber spacing).
-    """
-    cfg = cgrid.config
-    ks = []
-    for d in range(3):
-        n = gdims_phys[d]
-        k = np.fft.fftfreq(n, d=1.0 / n) * (2.0 * np.pi / lengths[d])
-        if rfft_x and d == 0:
-            k = k[: n // 2 + 1]
-        ks.append(k)
-    kx, ky, kz = np.meshgrid(*ks, indexing="ij")
-    k2 = sum(a.astype(np.float64) ** power for a in (kx, ky, kz))
-    from cudecomp_tpu.utils.arrays import scatter_global
-    return scatter_global(cgrid, k2, 2)
-
-
 @dataclasses.dataclass(frozen=True)
 class PoissonSolver:
     """Periodic Poisson solver: ``solve(f)`` returns u with lap(u) = f and
@@ -65,20 +44,16 @@ class PoissonSolver:
                               split_complex=self.split_complex)
 
     def _inv_k2(self):
-        # built once per solver: the host-side wavenumber construction and
-        # gather/scatter round trip would otherwise run on every solve()
+        # built once per solver via the shared spectral operator library
+        # (device-side; no host gather/scatter round trip); sign flipped:
+        # solve() divides by -(|k|^2)
         cached = self._cache.get("inv_k2")
         if cached is not None:
             return cached
-        plan = self.plan
-        k2 = wavenumber_field(plan.complex_grid, self.grid.config.gdims,
-                              self.lengths, rfft_x=self.real)
-        k2 = np.asarray(jax.device_get(k2))
-        with np.errstate(divide="ignore"):
-            inv = np.where(k2 > 0, -1.0 / np.maximum(k2, 1e-300), 0.0)
-        # re-scatter the inverse in the same spectral layout
-        out = jax.device_put(jnp.asarray(inv),
-                             plan.complex_grid.sharding(2))
+        from cudecomp_tpu.ops.spectral import SpectralOperators
+        sops = SpectralOperators(plan=self.plan, lengths=self.lengths,
+                                 dtype=np.float64)
+        out = -sops.inv_k_squared()
         self._cache["inv_k2"] = out
         return out
 
