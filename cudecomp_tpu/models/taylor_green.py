@@ -214,20 +214,7 @@ class TaylorGreenSolver:
         The standard turbulence diagnostic alongside the reference's
         energy/dissipation curves (``tg.cu`` outputs;
         ``docs/tg_validation.md``)."""
-        gd = self.grid.config.gdims
-        if nbins is None:
-            nbins = int(np.ceil(np.sqrt(sum((g // 2) ** 2 for g in gd)))) + 2
-        kx, k2 = f["kx"], f["k2"]
-        shell = jnp.round(jnp.sqrt(k2)).astype(jnp.int32)
-        mult = jnp.where((kx == 0) | (jnp.abs(kx) == gd[0] // 2), 1.0, 2.0)
-        if self.split_complex:
-            e = jnp.sum(uh[0] * uh[0] + uh[1] * uh[1], axis=-1)
-        else:
-            e = jnp.sum(jnp.abs(uh) ** 2, axis=-1)
-        n3 = float(np.prod(gd))
-        dens = 0.5 * mult * e / (n3 * n3)
-        return jax.ops.segment_sum(dens.ravel(), shell.ravel(),
-                                   num_segments=nbins)
+        return f["sops"].shell_spectrum(uh, nbins=nbins, comp=True)
 
     def run(self, n_steps: int, dt: float):
         """Convenience driver returning (final uh, energy history)."""

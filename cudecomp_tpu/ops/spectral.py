@@ -228,6 +228,43 @@ class SpectralOperators:
         """Apply the sharp 2/3-rule mask to spectral state."""
         return self._kmul(self.mask(fraction), sh, comp=comp)
 
+    def shell_spectrum(self, sh, nbins: int = None, comp: bool = False):
+        """Shell-summed power spectrum ``E(k)`` of spectral state.
+
+        Bins ``0.5 |sh|^2 / N^2`` (Parseval density for the unnormalized
+        forward transform) into integer shells of ``|k| / k_min`` where
+        ``k_min`` is the smallest axis fundamental — for the default
+        ``2*pi`` cubes that is integer-``|k|`` shells.  Real (r2c) plans
+        apply the half-spectrum multiplicity (2 for interior ``k_x``
+        planes, 1 for the ``k_x = 0`` and Nyquist planes), so
+        ``sum(E) == 0.5 * mean(|u|^2)`` to roundoff.  With ``comp=True``
+        the trailing component axis is summed first (vector fields).
+        The standard turbulence diagnostic the reference's Taylor-Green
+        example reports alongside energy/dissipation (``tg.cu`` outputs).
+        """
+        gd = self.plan.grid.config.gdims
+        if nbins is None:
+            nbins = int(np.ceil(np.sqrt(sum((g // 2) ** 2 for g in gd)))) + 2
+        kx = self.wavenumbers()[0]
+        k2 = self.k_squared()
+        k_min = min(2.0 * np.pi / L for L in self.lengths)
+        shell = jnp.round(jnp.sqrt(k2) / k_min).astype(jnp.int32)
+        if self.plan.real:
+            nyq = (gd[0] // 2) * (2.0 * np.pi / self.lengths[0])
+            mult = jnp.where((kx == 0) | (jnp.abs(kx) == nyq), 1.0, 2.0)
+        else:
+            mult = jnp.ones_like(k2)
+        if self._split():
+            e = sh[0] * sh[0] + sh[1] * sh[1]
+        else:
+            e = jnp.abs(sh) ** 2
+        if comp:
+            e = jnp.sum(e, axis=-1)
+        n3 = float(np.prod(gd))
+        dens = 0.5 * mult * e / (n3 * n3)
+        return jax.ops.segment_sum(dens.ravel(), shell.ravel(),
+                                   num_segments=nbins)
+
     def project_solenoidal(self, vh):
         """Leray projection ``v - k (k . v)/|k|^2``: removes the
         compressible part of a ``(..., 3)`` vector spectral state (the

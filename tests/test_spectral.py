@@ -175,3 +175,41 @@ def test_operators_jit_and_differentiate():
     e = float(energy(buf))
     g = jax.grad(lambda v: energy(v).real)(buf)
     assert np.isfinite(e) and np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_shell_spectrum_parseval(split):
+    # sum of the shell spectrum == 0.5 * mean(|u|^2), r2c multiplicity
+    # accounted (the Parseval identity TG's diagnostic relies on)
+    gdims = (16, 12, 8)
+    grid, plan, ops = setup(gdims=gdims, split=split)
+    f = RNG.standard_normal(gdims)
+    sh = to_spectral(plan, f)
+    ek = np.asarray(ops.shell_spectrum(sh))
+    assert np.all(ek >= 0)
+    assert np.isclose(ek.sum(), 0.5 * np.mean(f ** 2), rtol=1e-10)
+
+
+def test_shell_spectrum_c2c_no_multiplicity():
+    # complex plans cover the full spectrum: multiplicity is 1 everywhere
+    gdims = (8, 8, 8)
+    cfg = GridConfig(gdims=gdims, pdims=(2, 4))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:8])
+    plan = DistributedFFT(grid=grid, real=False)
+    ops = SpectralOperators(plan=plan, dtype=np.float64)
+    f = RNG.standard_normal(gdims) + 1j * RNG.standard_normal(gdims)
+    sh = plan.forward(cd.scatter_global(grid, f.astype(np.complex128), 0))
+    ek = np.asarray(ops.shell_spectrum(sh))
+    assert np.isclose(ek.sum(), 0.5 * np.mean(np.abs(f) ** 2), rtol=1e-10)
+
+
+def test_shell_spectrum_single_mode_lands_in_its_shell():
+    # a pure sin(3x) field puts all energy in shell |k| = 3
+    gdims = (16, 8, 8)
+    grid, plan, ops = setup(gdims=gdims)
+    xs = np.arange(16) * 2 * np.pi / 16
+    f = np.broadcast_to(np.sin(3 * xs)[:, None, None], gdims).copy()
+    sh = to_spectral(plan, f)
+    ek = np.asarray(ops.shell_spectrum(sh))
+    assert np.argmax(ek) == 3
+    assert np.isclose(ek[3], ek.sum(), rtol=1e-10)
