@@ -108,6 +108,40 @@ res2 = autotune(GridConfig(gdims=(8, 8, 8), pdims=(0, 0)), options=opts)
 print(f"HALO_GRID {res2.best_pdims[0]}x{res2.best_pdims[1]} "
       f"{res2.best_halo_method.value}", flush=True)
 
+# 8. ghost-plane stencil pipeline over the REAL process boundary: on this
+#    mesh dim 2 of the X-pencil shards over pc (spans both processes), so
+#    diffusion_step's paired-ppermute ghost exchange crosses the slow tier
+lap_in = np.cos(2 * np.pi * np.arange(8) / 8)[:, None, None] * np.ones(
+    (8, 12, 16))
+xs_l = cd.scatter_global(grid, lap_in, 0)
+st = cd.diffusion_step(grid, xs_l, 0.05, 0, (True, True, True))
+# reference: 7-point periodic Laplacian via numpy rolls
+acc = -6.0 * lap_in
+for d in range(3):
+    acc += np.roll(lap_in, 1, axis=d) + np.roll(lap_in, -1, axis=d)
+ref = lap_in + 0.05 * acc
+st_exp = cd.scatter_global(grid, ref, 0)
+for sa, sb in zip(st.addressable_shards, st_exp.addressable_shards):
+    np.testing.assert_allclose(np.asarray(sa.data), np.asarray(sb.data),
+                               atol=1e-12)
+
+# 9. spectral operator library across the cluster: d/dx of an analytic
+#    field through the distributed r2c plan (forward + derivative +
+#    inverse all ride the cross-process transpose pipeline)
+from cudecomp_tpu.ops.spectral import SpectralOperators
+plan = cd.DistributedFFT(grid=grid, real=True)
+sops = SpectralOperators(plan=plan, dtype=np.float64)
+sin_x = np.sin(2 * np.pi * np.arange(8) / 8 * 3)[:, None, None] * np.ones(
+    (8, 12, 16))
+sx = cd.scatter_global(grid, sin_x, 0)
+dx = plan.inverse(sops.derivative(plan.forward(sx), 0))
+cos_ref = 3 * np.cos(2 * np.pi * np.arange(8) / 8 * 3)[:, None, None] \
+    * np.ones((8, 12, 16))
+dx_exp = cd.scatter_global(grid, cos_ref, 0)
+for sa, sb in zip(dx.addressable_shards, dx_exp.addressable_shards):
+    np.testing.assert_allclose(np.asarray(sa.data), np.asarray(sb.data),
+                               atol=1e-8)
+
 print("MULTIHOST_OK", flush=True)
 '''
 
