@@ -213,3 +213,22 @@ def test_shell_spectrum_single_mode_lands_in_its_shell():
     ek = np.asarray(ops.shell_spectrum(sh))
     assert np.argmax(ek) == 3
     assert np.isclose(ek[3], ek.sum(), rtol=1e-10)
+
+
+def test_wavenumber_scaling_with_domain_lengths():
+    # L != 2*pi scales wavenumbers by 2*pi/L per axis: d/dx sin(2*pi*x/L)
+    # on [0, L) has amplitude 2*pi/L
+    gdims = (16, 8, 8)
+    L = (4.0, 2 * np.pi, 2 * np.pi)
+    cfg = GridConfig(gdims=gdims, pdims=(2, 4))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:8])
+    plan = DistributedFFT(grid=grid, real=True)
+    ops = SpectralOperators(plan=plan, lengths=L, dtype=np.float64)
+    xs = np.arange(gdims[0]) * L[0] / gdims[0]
+    f = np.broadcast_to(np.sin(2 * np.pi * xs / L[0])[:, None, None],
+                        gdims).copy()
+    sh = plan.forward(cd.scatter_global(grid, f, 0))
+    got = cd.gather_global(grid, plan.inverse(ops.derivative(sh, 0)), 0)
+    ref = (2 * np.pi / L[0]) * np.broadcast_to(
+        np.cos(2 * np.pi * xs / L[0])[:, None, None], gdims)
+    assert np.allclose(got, ref, atol=1e-8)
