@@ -198,6 +198,7 @@ class PoissonSolver:
             state, bnorm = init(f)
             bnorm_h = float(bnorm)
             it = 0
+            rs_h = bnorm_h * bnorm_h  # rs0: reported when maxiter < 1
             while it < maxiter:
                 state = chunk(state)
                 it += check_every

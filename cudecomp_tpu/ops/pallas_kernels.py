@@ -403,7 +403,8 @@ def _interpret_env() -> bool:
     return os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
-def cyclic_permute_uses_kernel(shape, perm, interpret=None) -> bool:
+def cyclic_permute_uses_kernel(shape, perm, interpret=None,
+                               itemsize: int = 4) -> bool:
     """Would :func:`pallas_cyclic_permute` run the Pallas kernel for this
     (3D shape, perm) — i.e. NOT take its jnp.transpose fallback?  ONE
     predicate shared by the kernel dispatch itself and by
@@ -420,7 +421,7 @@ def cyclic_permute_uses_kernel(shape, perm, interpret=None) -> bool:
         return False
     I, J, K = shape
     M, N = (I, J * K) if tuple(perm) == (1, 2, 0) else (I * J, K)
-    return _plan_tiles(M, N) is not None
+    return _plan_tiles(M, N, itemsize) is not None
 
 
 def pallas_cyclic_permute(x, perm, interpret=None, force=None):
@@ -446,7 +447,8 @@ def pallas_cyclic_permute(x, perm, interpret=None, force=None):
     if interpret is None:
         interpret = _interpret_env()
     if force is False or not cyclic_permute_uses_kernel(
-            x.shape, perm, interpret=interpret):
+            x.shape, perm, interpret=interpret,
+            itemsize=x.dtype.itemsize):
         return jnp.transpose(x, perm)
     I, J, K = x.shape
     if tuple(perm) == (1, 2, 0):
@@ -455,7 +457,7 @@ def pallas_cyclic_permute(x, perm, interpret=None, force=None):
     else:
         M, N = I * J, K
         reshape_out = (K, I, J)
-    tm, tn = _plan_tiles(M, N)
+    tm, tn = _plan_tiles(M, N, x.dtype.itemsize)
     out = pallas_transpose2d(x.reshape(M, N), tm, tn, interpret=interpret)
     return out.reshape(reshape_out)
 

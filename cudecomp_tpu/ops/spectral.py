@@ -243,15 +243,27 @@ class SpectralOperators:
         example reports alongside energy/dissipation (``tg.cu`` outputs).
         """
         gd = self.plan.grid.config.gdims
+        k_min = min(2.0 * np.pi / L for L in self.lengths)
         if nbins is None:
-            nbins = int(np.ceil(np.sqrt(sum((g // 2) ** 2 for g in gd)))) + 2
+            # largest shell index: |k_max| / k_min, with per-axis
+            # fundamentals — on anisotropic domains the max shell exceeds
+            # the isotropic sqrt(sum((g//2)^2)) estimate and segment_sum
+            # would silently drop those modes
+            kmax2 = sum(((g // 2) * 2.0 * np.pi / L) ** 2
+                        for g, L in zip(gd, self.lengths))
+            nbins = int(np.ceil(np.sqrt(kmax2) / k_min)) + 2
         kx = self.wavenumbers()[0]
         k2 = self.k_squared()
-        k_min = min(2.0 * np.pi / L for L in self.lengths)
         shell = jnp.round(jnp.sqrt(k2) / k_min).astype(jnp.int32)
         if self.plan.real:
-            nyq = (gd[0] // 2) * (2.0 * np.pi / self.lengths[0])
-            mult = jnp.where((kx == 0) | (jnp.abs(kx) == nyq), 1.0, 2.0)
+            # half-spectrum multiplicity: every retained interior k_x
+            # plane stands for its conjugate partner (mult 2) except the
+            # self-conjugate k_x = 0 plane and — only when gdims[0] is
+            # even — the Nyquist plane
+            mult = jnp.where(kx == 0, 1.0, 2.0)
+            if gd[0] % 2 == 0:
+                nyq = (gd[0] // 2) * (2.0 * np.pi / self.lengths[0])
+                mult = jnp.where(jnp.abs(kx) == nyq, 1.0, mult)
         else:
             mult = jnp.ones_like(k2)
         if self._split():

@@ -67,7 +67,7 @@ def _local_extents(grid, axis: int) -> Tuple[int, int, int]:
     return tuple(ext)
 
 
-def _exchange_ghosts(ul, spec, mesh, periods_mem, ndev_by_name):
+def _exchange_ghosts(ul, spec, periods_mem, ndev_by_name):
     """Per-shard ghost planes for each buffer dim: (lo, hi) pairs where
     ``lo`` holds the left neighbor's high boundary plane.
 
@@ -259,7 +259,7 @@ def _lap_apply(grid, u, axis, halo_periods, alpha, beta):
         for d in range(3))
 
     def local_fn(ul):
-        ghosts = _exchange_ghosts(ul, spec, grid.mesh, periods_mem,
+        ghosts = _exchange_ghosts(ul, spec, periods_mem,
                                   ndev_by_name)
         return _apply_local(ul, ghosts, ext, alpha, beta, interpret, wrap)
 
@@ -523,7 +523,7 @@ def _stencil_apply_impl(grid, u, w, axis, periods):
 
         def local_fn(ul):
             from jax.experimental.pallas import tpu as pltpu
-            ghosts = _exchange_ghosts(ul, spec, grid.mesh, periods_mem,
+            ghosts = _exchange_ghosts(ul, spec, periods_mem,
                                       ndev_by_name)
             # >7 taps: halve the block cap — the dense 27-tap kernel at
             # 8 MB blocks crashes the remote Mosaic compiler (HTTP 500),

@@ -320,7 +320,8 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
         in_order = cfg.mem_order(a)
         ms_in = geometry.max_splits(cfg, a)
         shape = tuple(ms_in[in_order[i]] for i in range(3))
-        return cyclic_permute_uses_kernel(shape, net)
+        return cyclic_permute_uses_kernel(
+            shape, net, itemsize=np.dtype(dtype).itemsize)
 
     # the chain is fold-proof iff every op is a non-trivial cyclic permute
     # and at least one of them really lowers to an opaque Pallas call

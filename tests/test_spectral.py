@@ -232,3 +232,32 @@ def test_wavenumber_scaling_with_domain_lengths():
     ref = (2 * np.pi / L[0]) * np.broadcast_to(
         np.cos(2 * np.pi * xs / L[0])[:, None, None], gdims)
     assert np.allclose(got, ref, atol=1e-8)
+
+
+def test_shell_spectrum_parseval_anisotropic_lengths():
+    # review fix: on anisotropic domains the max shell index exceeds the
+    # isotropic estimate; default nbins must not silently drop modes
+    gdims = (16, 16, 16)
+    L = (2 * np.pi, 2 * np.pi, np.pi)  # z fundamental = 2: shells reach ~2x
+    cfg = GridConfig(gdims=gdims, pdims=(2, 4))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:8])
+    plan = DistributedFFT(grid=grid, real=True)
+    ops = SpectralOperators(plan=plan, lengths=L, dtype=np.float64)
+    f = RNG.standard_normal(gdims)
+    sh = plan.forward(cd.scatter_global(grid, f, 0))
+    ek = np.asarray(ops.shell_spectrum(sh))
+    assert np.isclose(ek.sum(), 0.5 * np.mean(f ** 2), rtol=1e-10)
+
+
+def test_shell_spectrum_parseval_odd_first_dim():
+    # review fix: odd gdims[0] has NO Nyquist plane — the last retained
+    # kx plane still has a conjugate partner and needs multiplicity 2
+    gdims = (15, 8, 8)
+    cfg = GridConfig(gdims=gdims, pdims=(2, 4))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:8])
+    plan = DistributedFFT(grid=grid, real=True)
+    ops = SpectralOperators(plan=plan, dtype=np.float64)
+    f = RNG.standard_normal(gdims)
+    sh = plan.forward(cd.scatter_global(grid, f, 0))
+    ek = np.asarray(ops.shell_spectrum(sh))
+    assert np.isclose(ek.sum(), 0.5 * np.mean(f ** 2), rtol=1e-10)
