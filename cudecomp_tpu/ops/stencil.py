@@ -105,6 +105,14 @@ def _kernel(cur_ref, prev_ref, next_ref, *refs,
             bx, nbx, my, mz, alpha, beta, wrap):
     """One-pass ``alpha*u + beta*lap(u)`` on an x-plane block.
 
+    NOTE: this specialized 7-point path deliberately coexists with the
+    generic ``_stencil27_kernel`` rather than routing through it as a
+    weight set.  Its dispatch differs where it matters on hardware (8 MB
+    blocks vs the dense kernel's 4 MB Mosaic cap; in-register rolls with
+    no tap loop) and its 4.4 ms/512^3 headline was measured on-chip in
+    this exact form (BENCH_NOTES.md r4) — unifying the two is a perf
+    experiment to run on real hardware, not a refactor to do blind.
+
     ``wrap[d]`` marks dims that are fully local AND periodic: their
     neighbor values come from pure in-register rolls (x: the wrapped
     prev/next plane BlockSpecs are already correct), so no ghost refs or
