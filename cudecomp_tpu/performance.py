@@ -102,11 +102,12 @@ class PerfRegistry:
                 # by the nan-aware reductions
                 t = np.array([])
                 avg = mn = mx = std = float("nan")
+            count = len(t)
             if multi:
                 from jax.experimental import multihost_utils
                 g = np.asarray(multihost_utils.process_allgather(
-                    np.array([avg, mn, mx, std])))
-                g = g.reshape(-1, 4)
+                    np.array([avg, mn, mx, std, float(count)])))
+                g = g.reshape(-1, 5)
                 import warnings
                 with warnings.catch_warnings():
                     warnings.simplefilter("ignore")  # all-NaN slices
@@ -114,11 +115,12 @@ class PerfRegistry:
                                         float(np.nanmin(g[:, 1])),
                                         float(np.nanmax(g[:, 2])),
                                         float(np.nanmean(g[:, 3])))
+                count = int(g[:, 4].sum())  # global sample count
                 if np.isnan(avg):
                     continue  # no process has post-warmup samples
             row = {
                 "config": "/".join(str(k) for k in key),
-                "count": len(t),
+                "count": count,
                 "avg_ms": avg,
                 "min_ms": mn,
                 "max_ms": mx,

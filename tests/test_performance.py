@@ -87,7 +87,7 @@ def test_rows_cross_host_reduction(monkeypatch):
         @staticmethod
         def process_allgather(x):
             a = np.asarray(x)
-            return np.stack([a, a + np.array([1.0, -0.5, 2.0, 0.0])])
+            return np.stack([a, a + np.array([1.0, -0.5, 2.0, 0.0, 0.0])])
 
     monkeypatch.setattr(jax.experimental, "multihost_utils", FakeMH)
     import sys
@@ -100,6 +100,8 @@ def test_rows_cross_host_reduction(monkeypatch):
     assert row["avg_ms"] == 3.5       # mean(3, 4)
     assert row["min_ms"] == 1.5       # min(2, 1.5)
     assert row["max_ms"] == 6.0       # max(4, 6)
+    assert row["count"] == 4          # global sample count (2 + 2)
+    assert local_row["count"] == 2
 
 
 def test_segment_roundtrip_single_chip_chained(monkeypatch):
