@@ -66,3 +66,31 @@ def test_grid_on_decomp_mesh_end_to_end():
     x = cd.scatter_global(grid, f, 0)
     z = cd.transpose_y_to_z(grid, cd.transpose_x_to_y(grid, x))
     np.testing.assert_allclose(cd.gather_global(grid, z, 2), f)
+
+
+def test_embedding_in_larger_training_mesh():
+    # docs/usage.md "Embedding in a larger training mesh": the decomposition
+    # axes are a 2D sub-mesh of a 3D mesh with an extra 'data' axis; all
+    # transpose ops must work and a vmapped batch composes correctly
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("pr", "pc", "data"))
+    cfg = GridConfig(gdims=(8, 12, 16), pdims=(2, 2))
+    grid = cd.GridDescriptor(config=cfg, mesh=mesh)
+    f = T.global_index_field((8, 12, 16))
+    x = cd.scatter_global(grid, f, 0)
+    z = cd.transpose_y_to_z(grid, cd.transpose_x_to_y(grid, x))
+    back = cd.transpose_y_to_x(grid, cd.transpose_z_to_y(grid, z))
+    np.testing.assert_allclose(cd.gather_global(grid, back, 0), f)
+
+    # batched leading dim sharded over 'data' (DP-style), decomposition
+    # applied per batch element via vmap
+    fb = np.stack([f, 2.0 * f])
+    xb = jax.device_put(fb, NamedSharding(mesh, P("data", None, "pr", "pc")))
+    yb = jax.vmap(lambda v: cd.transpose_x_to_y(grid, v))(xb)
+    y_ref = cd.transpose_x_to_y(grid, x)
+    ga = cd.gather_global(grid, yb[0], 1)
+    gb = cd.gather_global(grid, yb[1], 1)
+    np.testing.assert_allclose(ga, cd.gather_global(grid, y_ref, 1))
+    np.testing.assert_allclose(gb, 2.0 * cd.gather_global(grid, y_ref, 1))
