@@ -182,49 +182,59 @@ def _pick_bx(mx: int, plane_bytes: int = 0,
     return 1
 
 
+def _ghost_plane_call(kernel_body, ul, ghosts, ext, bx, wrap, interpret):
+    """Shared pallas_call scaffold for one-pass ghost-plane stencil
+    kernels: x-block grid with periodically-wrapped prev/next plane
+    BlockSpecs on the same array, per-dim ghost refs for non-wrap dims
+    (``wrap[d]`` drops that dim's ghost refs — the unused exchange slices
+    are dead code XLA eliminates), and the raised Mosaic vmem limit.
+    Both the specialized 7-point kernel and the generic 27-tap kernel
+    dispatch through here, so their scaffolds cannot drift."""
+    from jax.experimental.pallas import tpu as pltpu
+    mx, my, mz = ext
+    nbx = mx // bx
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    gxlo, gxhi, gylo, gyhi, gzlo, gzhi = ghosts
+    ghost_specs, ghost_args = [], []
+    if not wrap[0]:
+        ghost_specs += [pl.BlockSpec((1, my, mz), lambda i: (0, 0, 0))] * 2
+        ghost_args += [gxlo, gxhi]
+    if not wrap[1]:
+        ghost_specs += [pl.BlockSpec((bx, 1, mz), lambda i: (i, 0, 0))] * 2
+        ghost_args += [gylo, gyhi]
+    if not wrap[2]:
+        ghost_specs += [pl.BlockSpec((bx, my, 1), lambda i: (i, 0, 0))] * 2
+        ghost_args += [gzlo, gzhi]
+    return pl.pallas_call(
+        kernel_body,
+        grid=(nbx,),
+        in_specs=[
+            pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, my, mz),
+                         lambda i, bx=bx, mx=mx: ((i * bx - 1) % mx, 0, 0)),
+            pl.BlockSpec((1, my, mz),
+                         lambda i, bx=bx, mx=mx: (((i + 1) * bx) % mx, 0, 0)),
+        ] + ghost_specs,
+        out_specs=pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(ul.shape, ul.dtype),
+        interpret=interpret,
+        **params,
+    )(ul, ul, ul, *ghost_args)
+
+
 def _apply_local(ul, ghosts, ext, alpha, beta, interpret, wrap):
     """Per-shard stencil apply: Pallas one-pass kernel when eligible,
-    ghost-plane XLA form otherwise (CPU testing / ragged tilings).
-
-    ``wrap[d]`` (dim is local AND periodic) drops that dim's ghost refs
-    from the kernel call — the unused exchange slices are dead code XLA
-    eliminates."""
+    ghost-plane XLA form otherwise (CPU testing / ragged tilings)."""
     mx, my, mz = ext
     gxlo, gxhi, gylo, gyhi, gzlo, gzhi = ghosts
     if _kernel_eligible(ext, ul.dtype, interpret):
-        from jax.experimental.pallas import tpu as pltpu
         bx = _pick_bx(mx, my * mz * ul.dtype.itemsize)
-        nbx = mx // bx
-        params = {}
-        if not interpret:
-            params["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
-        ghost_specs, ghost_args = [], []
-        if not wrap[0]:
-            ghost_specs += [pl.BlockSpec((1, my, mz), lambda i: (0, 0, 0))] * 2
-            ghost_args += [gxlo, gxhi]
-        if not wrap[1]:
-            ghost_specs += [pl.BlockSpec((bx, 1, mz), lambda i: (i, 0, 0))] * 2
-            ghost_args += [gylo, gyhi]
-        if not wrap[2]:
-            ghost_specs += [pl.BlockSpec((bx, my, 1), lambda i: (i, 0, 0))] * 2
-            ghost_args += [gzlo, gzhi]
-        return pl.pallas_call(
-            partial(_kernel, bx=bx, nbx=nbx, my=my, mz=mz,
-                    alpha=alpha, beta=beta, wrap=wrap),
-            grid=(nbx,),
-            in_specs=[
-                pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, my, mz),
-                             lambda i, bx=bx, mx=mx: ((i * bx - 1) % mx, 0, 0)),
-                pl.BlockSpec((1, my, mz),
-                             lambda i, bx=bx, mx=mx: (((i + 1) * bx) % mx, 0, 0)),
-            ] + ghost_specs,
-            out_specs=pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct(ul.shape, ul.dtype),
-            interpret=interpret,
-            **params,
-        )(ul, ul, ul, *ghost_args)
+        body = partial(_kernel, bx=bx, nbx=mx // bx, my=my, mz=mz,
+                       alpha=alpha, beta=beta, wrap=wrap)
+        return _ghost_plane_call(body, ul, ghosts, ext, bx, wrap, interpret)
 
     # XLA fallback: same ghost-plane math as jnp concatenations
     up = jnp.concatenate([gxlo, ul[:-1]], axis=0)
@@ -530,7 +540,6 @@ def _stencil_apply_impl(grid, u, w, axis, periods):
         mx, my, mz = ext
 
         def local_fn(ul):
-            from jax.experimental.pallas import tpu as pltpu
             ghosts = _exchange_ghosts(ul, spec, periods_mem,
                                       ndev_by_name)
             # >7 taps: halve the block cap — the dense 27-tap kernel at
@@ -539,42 +548,10 @@ def _stencil_apply_impl(grid, u, w, axis, periods):
             # (BENCH_NOTES.md r4 "stencil_apply")
             cap = (8 if len(taps) <= 7 else 4) * 1024 * 1024
             bx = _pick_bx(mx, my * mz * ul.dtype.itemsize, cap)
-            nbx = mx // bx
-            params = {}
-            if not interpret:
-                params["compiler_params"] = pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024)
-            gspecs, gargs = [], []
-            if not wrap[0]:
-                gspecs += [pl.BlockSpec((1, my, mz),
-                                        lambda i: (0, 0, 0))] * 2
-                gargs += [ghosts[0], ghosts[1]]
-            if not wrap[1]:
-                gspecs += [pl.BlockSpec((bx, 1, mz),
-                                        lambda i: (i, 0, 0))] * 2
-                gargs += [ghosts[2], ghosts[3]]
-            if not wrap[2]:
-                gspecs += [pl.BlockSpec((bx, my, 1),
-                                        lambda i: (i, 0, 0))] * 2
-                gargs += [ghosts[4], ghosts[5]]
-            return pl.pallas_call(
-                partial(_stencil27_kernel, nbx=nbx, my=my, mz=mz,
-                        taps=taps, wrap=wrap),
-                grid=(nbx,),
-                in_specs=[
-                    pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
-                    pl.BlockSpec((1, my, mz),
-                                 lambda i, bx=bx, mx=mx:
-                                 ((i * bx - 1) % mx, 0, 0)),
-                    pl.BlockSpec((1, my, mz),
-                                 lambda i, bx=bx, mx=mx:
-                                 (((i + 1) * bx) % mx, 0, 0)),
-                ] + gspecs,
-                out_specs=pl.BlockSpec((bx, my, mz), lambda i: (i, 0, 0)),
-                out_shape=jax.ShapeDtypeStruct(ul.shape, ul.dtype),
-                interpret=interpret,
-                **params,
-            )(ul, ul, ul, *gargs)
+            body = partial(_stencil27_kernel, nbx=mx // bx, my=my, mz=mz,
+                           taps=taps, wrap=wrap)
+            return _ghost_plane_call(body, ul, ghosts, ext, bx, wrap,
+                                     interpret)
 
         with trace_range(f"cudecomp_tpu.stencil_apply_axis{axis}"):
             return shard_map_fn(local_fn, grid.mesh, in_specs=(spec,),
