@@ -261,3 +261,25 @@ def test_shell_spectrum_parseval_odd_first_dim():
     sh = plan.forward(cd.scatter_global(grid, f, 0))
     ek = np.asarray(ops.shell_spectrum(sh))
     assert np.isclose(ek.sum(), 0.5 * np.mean(f ** 2), rtol=1e-10)
+
+
+def test_spectral_ops_axis_contiguous_layout():
+    # the spectral fields live in the Z-pencil's MEMORY layout; operators
+    # must stay correct under axis-contiguous pencils (scatter handles
+    # the layout mapping)
+    gdims = (16, 12, 8)
+    cfg = GridConfig(gdims=gdims, pdims=(2, 4),
+                     transpose_axis_contiguous=(True, True, True))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:8])
+    plan = DistributedFFT(grid=grid, real=True)
+    ops = SpectralOperators(plan=plan, dtype=np.float64)
+    f = RNG.standard_normal(gdims)
+    sh = plan.forward(cd.scatter_global(grid, f, 0))
+    got = cd.gather_global(plan.complex_grid,
+                           ops.derivative(sh, 0), 2)
+    kx, ky, kz = np_k(gdims, real=True)
+    ref = (1j * kx) * _np_rfft3(f)
+    assert np.allclose(got, ref, atol=1e-8), np.abs(got - ref).max()
+    # Parseval through the layout too
+    ek = np.asarray(ops.shell_spectrum(sh))
+    assert np.isclose(ek.sum(), 0.5 * np.mean(f ** 2), rtol=1e-10)
