@@ -57,10 +57,39 @@ class PoissonSolver:
         self._cache["inv_k2"] = out
         return out
 
-    def solve(self, f):
-        """f: X-pencil buffer on ``grid`` (real if ``real=True``)."""
+    def _inv_symbol_fd(self):
+        # spectral inverse of the DISCRETE 7-point Laplacian: the DFT
+        # diagonalizes lap_h with per-axis eigenvalues
+        # -(4/h_d^2) sin^2(k_d h_d / 2) (zero mode pinned), so one
+        # forward/inverse pair solves the FD system EXACTLY — the target
+        # solve_cg iterates toward, at FFT cost
+        cached = self._cache.get("inv_fd")
+        if cached is not None:
+            return cached
+        from cudecomp_tpu.ops.spectral import SpectralOperators
+        import jax.numpy as _jnp
+        sops = SpectralOperators(plan=self.plan, lengths=self.lengths,
+                                 dtype=np.float64)
+        kx, ky, kz = sops.wavenumbers()
+        sym = None
+        for k, (n, L) in zip((kx, ky, kz),
+                             zip(self.grid.config.gdims, self.lengths)):
+            h = L / n
+            term = (4.0 / (h * h)) * _jnp.sin(k * h / 2.0) ** 2
+            sym = term if sym is None else sym + term
+        out = _jnp.where(sym > 0, -1.0 / _jnp.where(sym > 0, sym, 1.0), 0.0)
+        self._cache["inv_fd"] = out
+        return out
+
+    def solve(self, f, discrete: bool = False):
+        """f: X-pencil buffer on ``grid`` (real if ``real=True``).
+
+        With ``discrete=True`` the spectral scale is the inverse symbol
+        of the DISCRETE 7-point Laplacian instead of ``-1/|k|^2``: the
+        result solves ``lap_h(u) = f`` exactly (what :meth:`solve_cg`
+        iterates toward) in one forward/inverse FFT pair."""
         plan = self.plan
-        inv_k2 = self._inv_k2()
+        inv_k2 = self._inv_symbol_fd() if discrete else self._inv_k2()
         with trace_range("cudecomp_tpu.poisson_solve"):
             if self.split_complex and self.real:
                 # plane-carried: the spectral scale applies per plane, so

@@ -334,3 +334,47 @@ def test_taylor_green_cfl_dt():
     dt = float(solver.cfl_dt(uh, f, cfl=0.5))
     dx = 2.0 * np.pi / 16
     np.testing.assert_allclose(dt, 0.5 * dx, rtol=1e-5)
+
+
+@pytest.mark.parametrize("pdims", [(1, 1), (2, 4)])
+def test_poisson_solve_discrete_exact(pdims):
+    # solve(discrete=True) inverts the 7-point operator EXACTLY in one
+    # FFT pair: reconstruct u from lap_h(u) to roundoff (the direct
+    # counterpart of the CG solve, same oracle construction)
+    n = 16
+    grid = make_grid_for((n, n, n), pdims)
+    rng = np.random.default_rng(13)
+    u_true = rng.standard_normal((n, n, n))
+    u_true -= u_true.mean()
+    ub = cd.scatter_global(grid, u_true, 0)
+    solver = PoissonSolver(grid=grid)
+    h2 = (2 * np.pi / n) ** 2
+    fb = cd.laplacian7(grid, ub, 0, (True, True, True)) / h2
+    u = solver.solve(fb, discrete=True)
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, u, 0)),
+                               u_true, rtol=0, atol=1e-10)
+
+
+def test_poisson_solve_discrete_anisotropic_lengths():
+    # non-2pi anisotropic domain: the FD symbol uses each axis' own h
+    n = (16, 8, 8)
+    grid = make_grid_for(n, (2, 4))
+    L = (2 * np.pi, np.pi, 4.0)
+    rng = np.random.default_rng(14)
+    u_true = rng.standard_normal(n)
+    u_true -= u_true.mean()
+    ub = cd.scatter_global(grid, u_true, 0)
+    solver = PoissonSolver(grid=grid, lengths=L)
+    # anisotropic weighted 7-point matvec (same weights solve_cg uses)
+    hs = [L[d] / n[d] for d in range(3)]
+    w = np.zeros((3, 3, 3))
+    for d in range(3):
+        inv = 1.0 / hs[d] ** 2
+        lo, hi = [1, 1, 1], [1, 1, 1]
+        lo[d], hi[d] = 0, 2
+        w[tuple(lo)] = w[tuple(hi)] = inv
+        w[1, 1, 1] -= 2.0 * inv
+    fb = cd.stencil_apply(grid, ub, w, 0, (True, True, True))
+    u = solver.solve(fb, discrete=True)
+    np.testing.assert_allclose(np.asarray(cd.gather_global(grid, u, 0)),
+                               u_true, rtol=0, atol=1e-10)
