@@ -108,6 +108,12 @@ class PoissonSolver:
         """Matrix-free conjugate-gradient solve of the DISCRETE 7-point
         Poisson equation ``lap_h(u) = f`` (periodic, zero mean).
 
+        For fully periodic grids ``solve(f, discrete=True)`` reaches the
+        same discrete solution in ONE FFT pair (the DFT diagonalizes
+        lap_h); CG remains the matvec-only path — the pattern for
+        operators with no spectral diagonalization (varying
+        coefficients, masked domains).
+
         The matvec is one fused ghost-plane stencil pass per iteration
         (:func:`cudecomp_tpu.laplacian7`; BENCH_NOTES.md r4) — the
         finite-difference counterpart of the spectral :meth:`solve`
