@@ -47,7 +47,8 @@ from cudecomp_tpu.geometry import (
     transpose_workspace_size,
     halo_workspace_size,
 )
-from cudecomp_tpu.grid import GridDescriptor, make_grid
+from cudecomp_tpu.grid import (GridDescriptor, make_grid,
+                               clear_plan_caches)
 from cudecomp_tpu.ops.transpose import (
     transpose_x_to_y,
     transpose_y_to_x,
@@ -105,6 +106,7 @@ __all__ = [
     "DistributedFFT",
     "autotune_fft",
     "fft3d",
+    "clear_plan_caches",
     "SpectralOperators",
     "wavenumber_fields",
     "dealias_mask",

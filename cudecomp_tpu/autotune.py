@@ -533,6 +533,12 @@ def autotune(
             best_halo = hbest[1]
             best_grid = hbest[2]
 
+    # drop the loser candidates' compiled plans (the analog of the
+    # reference clearing its graph cache between autotune configs,
+    # autotune.cc:629); the winner recompiles on first real use
+    from cudecomp_tpu.grid import clear_plan_caches
+    clear_plan_caches()
+
     return AutotuneResult(grid=best_grid, best_pdims=best_pdims,
                           best_method=best_method, best_time_s=best_time,
                           trials=trials, halo_trials=halo_trials,

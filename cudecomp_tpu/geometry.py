@@ -30,7 +30,6 @@ costs nothing.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Sequence, Tuple
 
 from cudecomp_tpu.config import GridConfig, RankOrder
@@ -50,6 +49,11 @@ def get_splits(n: int, nchunks: int, excess: int = 0) -> Tuple[int, ...]:
     """
     if nchunks <= 0:
         raise ValueError(f"nchunks must be positive, got {nchunks}")
+    if excess and n <= 0:
+        # "last populated chunk" is undefined with zero populated chunks
+        # (negative indexing would silently tack the excess onto
+        # splits[-1])
+        raise ValueError(f"excess={excess} requires n > 0, got n={n}")
     base, rem = divmod(n, nchunks)
     splits = [base + (1 if i < rem else 0) for i in range(nchunks)]
     if excess:

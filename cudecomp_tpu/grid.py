@@ -170,3 +170,23 @@ def make_grid(
         mesh = build_mesh(config.pdims, devices=devices,
                           rank_order=config.rank_order, axis_names=axis_names)
     return GridDescriptor(config=config, mesh=mesh, axis_names=axis_names)
+
+
+def clear_plan_caches() -> None:
+    """Drop every cached compiled plan (transpose / halo / stencil
+    builders).
+
+    The reference pairs its CUDA-graph cache with grid-descriptor destroy
+    (``graph.h:37-51``; the autotuner clears it between trial configs,
+    ``autotune.cc:629``).  Functional JAX has no destroy hook, so
+    throwaway :class:`GridDescriptor` objects — autotune sweep candidates,
+    short-lived grids in long processes — pin their compiled ``shard_map``
+    programs (and the mesh/device objects they close over) in the builder
+    LRU caches until natural eviction.  Calling this releases them all;
+    live grids simply recompile their plans on next use.
+    """
+    from cudecomp_tpu.ops import halo, stencil, transpose
+    transpose._build_transpose_fn.cache_clear()
+    halo._build_halo_fn.cache_clear()
+    stencil._stencil_apply_fn.cache_clear()
+    stencil._diff_apply_fn.cache_clear()

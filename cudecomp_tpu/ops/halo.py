@@ -103,7 +103,6 @@ def update_halos(grid, arr, axis: int, halo_extents, halo_periods,
                      f"{''.join(map(str, dims))}"):
         fn = _build_halo_fn(grid, axis, dims, halo, periods, pad,
                             arr.ndim - 3, donate)
-        cfg = grid.config
         ms = geometry.max_splits(cfg, axis)
 
         def perf_key():
@@ -114,7 +113,7 @@ def update_halos(grid, arr, axis: int, halo_extents, halo_periods,
             key = (f"update_halos_axis{axis}_dims"
                    f"{''.join(map(str, dims))}", cfg.gdims, cfg.pdims,
                    cfg.halo_method.value, str(arr.dtype), tuple(halo),
-                   periods)
+                   periods, tuple(pad), bool(donate))
             return key, int(2 * slabs * arr.dtype.itemsize)
 
         from cudecomp_tpu import performance as perf
@@ -187,7 +186,7 @@ def _dim_body(grid, axis, d, halo, periodic, inplace=False):
             if not periodic:
                 return local  # nothing to exchange, boundary halos untouched
             v = splits[0]
-            low_src = lax.slice_in_dim(local, h + v - h, h + v, axis=i_d)
+            low_src = lax.slice_in_dim(local, v, h + v, axis=i_d)
             high_src = lax.slice_in_dim(local, h, 2 * h, axis=i_d)
             return _write_halo_slabs(local, low_src, high_src, h, m, i_d,
                                      inplace=inplace)

@@ -121,7 +121,7 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
     cfg = grid.config
     ax_out = ax + dir_
 
-    comm_pd = 0 if min(ax, ax_out) == 0 else 1
+    comm_pd = geometry.shard_pdim_of_dim(ax_out, ax)
     comm_name = grid.comm_axis_name(ax, dir_)
     P = cfg.pdims[comm_pd]
 
@@ -309,7 +309,7 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
 
     names = ("x", "y", "z")
     op_name = f"transpose_{names[ax]}_to_{names[ax_out]}"
-    comm_pd = 0 if min(ax, ax_out) == 0 else 1
+    comm_pd = geometry.shard_pdim_of_dim(ax_out, ax)
     P = cfg.pdims[comm_pd]
     ms_in = geometry.max_splits(cfg, ax)
 
@@ -318,7 +318,7 @@ def _transpose_impl(grid, arr, ax: int, dir_: int,
         local_elems = ms_in[0] * ms_in[1] * ms_in[2]  # per-shard interior
         nbytes = int(local_elems * arr.dtype.itemsize * (P - 1) / P)
         key = (op_name, cfg.gdims, cfg.pdims, method_key, str(arr.dtype),
-               in_halo, out_halo)
+               in_halo, out_halo, in_pad, out_pad)
         return key, nbytes
 
     from cudecomp_tpu import performance as perf

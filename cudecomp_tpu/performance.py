@@ -238,7 +238,7 @@ def _time_exchanges(grid, dtype, method_key: str, *, iters, n_warmup,
     exch = EXCHANGES[m]
     total = 0.0
     for ax, dir_ in ((0, +1), (1, +1), (2, -1), (1, -1)):
-        comm_pd = 0 if min(ax, ax + dir_) == 0 else 1
+        comm_pd = geometry.shard_pdim_of_dim(ax + dir_, ax)
         P = cfg.pdims[comm_pd]
         if P == 1:
             continue
@@ -398,7 +398,7 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
     itemsize = np.dtype(dtype).itemsize
     nbytes = 0
     for ax, dir_ in ((0, +1), (1, +1), (2, -1), (1, -1)):
-        P = pr if min(ax, ax + dir_) == 0 else pc
+        P = cfg.pdims[geometry.shard_pdim_of_dim(ax + dir_, ax)]
         ms_in = geometry.max_splits(cfg, ax)
         elems = ms_in[0] * ms_in[1] * ms_in[2]
         nbytes += int(elems * itemsize * (P - 1) / max(P, 1))

@@ -300,3 +300,21 @@ def test_pipelined_gdims_dist():
     np.testing.assert_array_equal(cd.gather_global(grid, y, 1), f)
     back = cd.transpose_y_to_x(grid, y, method=TransposeMethod.RING_PIPELINED)
     np.testing.assert_array_equal(cd.gather_global(grid, back, 0), f)
+
+
+def test_clear_plan_caches_releases_and_recompiles():
+    # autotune-candidate grids pin compiled shard_map programs in the
+    # builder caches; clear_plan_caches drops them and live grids simply
+    # recompile on next use (reference: graph cache cleared between
+    # autotune configs, autotune.cc:629)
+    from cudecomp_tpu.ops.transpose import _build_transpose_fn
+
+    grid = make_grid_for((8, 8, 8), (2, 4))
+    f = np.random.default_rng(0).standard_normal((8, 8, 8))
+    x = cd.scatter_global(grid, f, 0)
+    y = cd.transpose_x_to_y(grid, x)
+    assert _build_transpose_fn.cache_info().currsize > 0
+    cd.clear_plan_caches()
+    assert _build_transpose_fn.cache_info().currsize == 0
+    y2 = cd.transpose_x_to_y(grid, x)  # recompiles fine
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y))
