@@ -71,8 +71,21 @@ class AutotuneResult:
             "trials": [dataclasses.asdict(t) for t in self.trials],
             "halo_trials": [dataclasses.asdict(t) for t in self.halo_trials],
         }
+
+        def _finite(o):
+            # skipped trials carry float('inf'); json.dump would emit the
+            # non-standard 'Infinity' token and the file would not parse
+            # as strict JSON (jq/JS tooling) — persist null instead
+            if isinstance(o, dict):
+                return {k: _finite(v) for k, v in o.items()}
+            if isinstance(o, list):
+                return [_finite(v) for v in o]
+            if isinstance(o, float) and not np.isfinite(o):
+                return None
+            return o
+
         with open(path, "w") as f:
-            json.dump(payload, f, indent=2)
+            json.dump(_finite(payload), f, indent=2, allow_nan=False)
 
     def report(self) -> str:
         """Human-readable trial table (perf-report analog)."""
@@ -216,20 +229,19 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
 
     uniform = len(set(weights)) == 1
     w_mean = float(np.mean(weights))
-    rt_timer = perf.ScannedTimer(roundtrip, x, iters)
 
-    warm_done = 0
-    if skip_after_first_above is not None:
-        probe = _allreduce_trials(rt_timer.time(n_warmup=1, n_trials=1))
-        score = w_mean * probe[0]
-        if score > skip_after_first_above:
-            return [score], True
-        warm_done = 2  # the probe's warmup + timed run already warmed it
-
-    rt_warm = max(n_warmup - warm_done, 0)
     if uniform:
+        rt_timer = perf.ScannedTimer(roundtrip, x, iters)
+        warm_done = 0
+        if skip_after_first_above is not None:
+            probe = _allreduce_trials(rt_timer.time(n_warmup=1, n_trials=1))
+            score = w_mean * probe[0]
+            if score > skip_after_first_above:
+                return [score], True
+            warm_done = 2  # the probe's warmup + timed run warmed it
+
         # score = sum(w_i * t_i) = w * t_roundtrip
-        ts = rt_timer.time(rt_warm, n_trials)
+        ts = rt_timer.time(max(n_warmup - warm_done, 0), n_trials)
         times = [t * weights[0] for t in ts]
     else:
         # pair-granular weighting: the two production-adjacent halves of
@@ -264,12 +276,24 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
                   + (2,) * n_components)
         z = jax.device_put(np.zeros(zshape, dtype=np.dtype(dtype)),
                            grid.sharding(2))
-        t_fwd = perf.time_scanned(pinned(fwd_pair), x, iters=iters,
-                                  n_warmup=n_warmup, n_trials=n_trials)
-        t_bwd = perf.time_scanned(pinned(bwd_pair), z, iters=iters,
-                                  n_warmup=n_warmup, n_trials=n_trials)
         w_fwd = (weights[0] + weights[1]) / 2.0
         w_bwd = (weights[2] + weights[3]) / 2.0
+        # the probe and the full protocol share the SAME two compiled
+        # pair executables (the roundtrip program is never built here —
+        # compiling it for one probe would waste a remote compile)
+        fwd_timer = perf.ScannedTimer(pinned(fwd_pair), x, iters)
+        bwd_timer = perf.ScannedTimer(pinned(bwd_pair), z, iters)
+        warm_done = 0
+        if skip_after_first_above is not None:
+            pf = _allreduce_trials(fwd_timer.time(n_warmup=1, n_trials=1))
+            pb = _allreduce_trials(bwd_timer.time(n_warmup=1, n_trials=1))
+            score = w_fwd * pf[0] + w_bwd * pb[0]
+            if score > skip_after_first_above:
+                return [score], True
+            warm_done = 2
+        pair_warm = max(n_warmup - warm_done, 0)
+        t_fwd = fwd_timer.time(pair_warm, n_trials)
+        t_bwd = bwd_timer.time(pair_warm, n_trials)
         times = [w_fwd * a + w_bwd * b for a, b in zip(t_fwd, t_bwd)]
     return _allreduce_trials(times), False
 

@@ -389,15 +389,29 @@ def autotune_fft(grid, real: bool = False, *, candidates=None,
 
     shape = grid.global_shape(0)
     key = jax.random.PRNGKey(seed)
+    # uneven decompositions carry padding slots the transpose pipeline
+    # zeroes at repack; random data there would make every candidate
+    # spuriously fail the gate, so the gate field is zero outside the
+    # valid interior (the round trip then preserves those zeros)
+    from cudecomp_tpu.utils.arrays import valid_interior_mask
+    mask = None
+    if shape != grid.config.gdims:
+        mask = jax.device_put(
+            valid_interior_mask(grid, 0).astype(np.float32),
+            grid.sharding(0))
+
+    def _masked(v):
+        return v if mask is None else v * mask
+
     if real:
         x = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32),
                     out_shardings=grid.sharding(0))(key)
-        data = x
+        data = _masked(x)
     else:
         ks = jax.random.split(key)
         mk = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32),
                      out_shardings=grid.sharding(0))
-        data = (mk(ks[0]), mk(ks[1]))
+        data = (_masked(mk(ks[0])), _masked(mk(ks[1])))
 
     trials = []
     best = None  # (avg, plan)

@@ -165,6 +165,11 @@ def _best_factorization(n: int):
         a, b = overrides[n]
         if a * b == n:
             return a, b
+        # same policy as malformed entries: warn, never break (the user
+        # would otherwise benchmark believing their override is active)
+        from cudecomp_tpu.utils.env import log_warn
+        log_warn(f"CUDECOMP_TPU_FFT_FACTORS override {n}={a}x{b} ignored: "
+                 f"product != {n}")
     b = int(math.isqrt(n))
     while n % b:
         b -= 1
@@ -365,6 +370,8 @@ def dft2_fused(xr, xi, inverse: bool, bx: int = 8, interpret=None):
     """
     from jax.experimental import pallas as pl
 
+    if xr.ndim != 3:
+        return None  # the gate's contract: decline, never raise
     X, n1, n2 = xr.shape
     if interpret is None:
         interpret = os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET",

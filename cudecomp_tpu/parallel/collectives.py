@@ -19,7 +19,6 @@ block ``q`` holding the data received from peer ``q``.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -45,6 +44,33 @@ def exchange_all_to_all(blocks, axis_name: str, n: int, block: int):
                           tiled=True)
 
 
+def _ring_exchange(blocks, axis_name: str, n: int, block: int, steps):
+    """Shared scaffold for every per-peer (ring-style) exchange.
+
+    ``steps`` is a list of ``(sigma, sigma_inv)`` pairs — each step is a
+    permutation ``j -> sigma(j)`` of the axis indices (``sigma_inv`` its
+    inverse).  At each step every device sends the block destined for
+    ``sigma(me)`` and stores the received block under its sender's index
+    ``sigma_inv(me)``; the self block is a local copy.  The block contract
+    (rows ``p*B:(p+1)*B`` per peer, output indexed by sender) lives ONLY
+    here, so the increment / XOR / hierarchical schedules cannot drift.
+    """
+    me = lax.axis_index(axis_name)
+    out = jnp.zeros_like(blocks)
+    self_blk = lax.dynamic_slice_in_dim(blocks, me * block, block, axis=0)
+    out = lax.dynamic_update_slice_in_dim(out, self_blk, me * block, axis=0)
+    for sigma, sigma_inv in steps:
+        send_peer = sigma(me)
+        recv_peer = sigma_inv(me)
+        blk = lax.dynamic_slice_in_dim(blocks, send_peer * block, block,
+                                       axis=0)
+        perm = [(j, sigma(j)) for j in range(n)]
+        recv = lax.ppermute(blk, axis_name, perm)
+        out = lax.dynamic_update_slice_in_dim(out, recv, recv_peer * block,
+                                              axis=0)
+    return out
+
+
 def exchange_ring(blocks, axis_name: str, n: int, block: int):
     """Ring (per-peer) exchange via ``lax.ppermute`` — pipelined analog.
 
@@ -54,19 +80,9 @@ def exchange_ring(blocks, axis_name: str, n: int, block: int):
     (common.h:533-577); on a TPU torus each step is a collective-permute that
     rides ICI neighbor links.
     """
-    me = lax.axis_index(axis_name)
-    out = jnp.zeros_like(blocks)
-    # self block
-    self_blk = lax.dynamic_slice_in_dim(blocks, me * block, block, axis=0)
-    out = lax.dynamic_update_slice_in_dim(out, self_blk, me * block, axis=0)
-    for s in range(1, n):
-        send_peer = (me + s) % n
-        recv_peer = (me - s) % n
-        blk = lax.dynamic_slice_in_dim(blocks, send_peer * block, block, axis=0)
-        perm = [(j, (j + s) % n) for j in range(n)]
-        recv = lax.ppermute(blk, axis_name, perm)
-        out = lax.dynamic_update_slice_in_dim(out, recv, recv_peer * block, axis=0)
-    return out
+    steps = [(lambda j, s=s: (j + s) % n, lambda j, s=s: (j - s) % n)
+             for s in range(1, n)]
+    return _ring_exchange(blocks, axis_name, n, block, steps)
 
 
 def exchange_ring_xor(blocks, axis_name: str, n: int, block: int):
@@ -79,17 +95,9 @@ def exchange_ring_xor(blocks, axis_name: str, n: int, block: int):
     """
     if n & (n - 1):
         return exchange_ring(blocks, axis_name, n, block)
-    me = lax.axis_index(axis_name)
-    out = jnp.zeros_like(blocks)
-    self_blk = lax.dynamic_slice_in_dim(blocks, me * block, block, axis=0)
-    out = lax.dynamic_update_slice_in_dim(out, self_blk, me * block, axis=0)
-    for s in range(1, n):
-        peer = me ^ s
-        blk = lax.dynamic_slice_in_dim(blocks, peer * block, block, axis=0)
-        perm = [(j, j ^ s) for j in range(n)]
-        recv = lax.ppermute(blk, axis_name, perm)
-        out = lax.dynamic_update_slice_in_dim(out, recv, peer * block, axis=0)
-    return out
+    # each XOR step is an involution: sigma == sigma_inv
+    steps = [(lambda j, s=s: j ^ s,) * 2 for s in range(1, n)]
+    return _ring_exchange(blocks, axis_name, n, block, steps)
 
 
 def hier_schedule(n: int, group: int):
@@ -132,30 +140,17 @@ def exchange_ring_hier(blocks, axis_name: str, n: int, block: int,
     inter-slice (DCN), with DCN steps front-loaded.  With ``group <= 1``
     (single slice) this degenerates to the plain increment ring.
     """
-    me = lax.axis_index(axis_name)
-    out = jnp.zeros_like(blocks)
-    self_blk = lax.dynamic_slice_in_dim(blocks, me * block, block, axis=0)
-    out = lax.dynamic_update_slice_in_dim(out, self_blk, me * block, axis=0)
     if group <= 1 or n % group:
         group = n  # one group: (0, dk) displacements == increment ring
     G = n // group
-    me_g = me // group
-    me_k = me % group
 
-    def peer_of(dg, dk, g, k):
-        return ((g + dg) % G) * group + (k + dk) % group
+    def peer_of(dg, dk, j):
+        return ((j // group + dg) % G) * group + (j % group + dk) % group
 
-    for dg, dk in hier_schedule(n, group):
-        send_peer = peer_of(dg, dk, me_g, me_k)
-        recv_peer = peer_of((-dg) % G, (-dk) % group, me_g, me_k)
-        blk = lax.dynamic_slice_in_dim(blocks, send_peer * block, block,
-                                       axis=0)
-        perm = [(j, peer_of(dg, dk, j // group, j % group))
-                for j in range(n)]
-        recv = lax.ppermute(blk, axis_name, perm)
-        out = lax.dynamic_update_slice_in_dim(out, recv, recv_peer * block,
-                                              axis=0)
-    return out
+    steps = [(lambda j, dg=dg, dk=dk: peer_of(dg, dk, j),
+              lambda j, dg=dg, dk=dk: peer_of((-dg) % G, (-dk) % group, j))
+             for dg, dk in hier_schedule(n, group)]
+    return _ring_exchange(blocks, axis_name, n, block, steps)
 
 
 EXCHANGES = {

@@ -300,15 +300,19 @@ def test_nonuniform_weights_with_payloads_distinct_scores(monkeypatch):
     from cudecomp_tpu import performance as perf
 
     calls = []
-    real_time_scanned = perf.time_scanned
 
-    def fake_time_scanned(fn, x, iters=2, n_warmup=1, n_trials=1):
-        # the fwd pair sees the x-pencil input, the bwd pair the z-pencil
-        # one; tag by call order (fwd first) with fixed distinct times
-        calls.append(1)
-        return [0.1 if len(calls) % 2 == 1 else 0.3] * n_trials
+    class FakeScannedTimer:
+        # the pair path builds ONE ScannedTimer per pair program (fwd
+        # first) and reuses it for probe + trials; tag by build order
+        # with fixed distinct per-iteration times
+        def __init__(self, fn, x, iters):
+            calls.append(1)
+            self._t = 0.1 if len(calls) % 2 == 1 else 0.3
 
-    monkeypatch.setattr(perf, "time_scanned", fake_time_scanned)
+        def time(self, n_warmup, n_trials):
+            return [self._t] * max(n_trials, 1)
+
+    monkeypatch.setattr(perf, "ScannedTimer", FakeScannedTimer)
 
     he = ((1, 1, 1),) * 4
     cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(2, 4))
@@ -321,7 +325,8 @@ def test_nonuniform_weights_with_payloads_distinct_scores(monkeypatch):
             transpose_input_halo_extents=he,
             transpose_output_halo_extents=he)
         res = autotune(cfg, options=opts)
-        assert len(calls) == 2  # one fwd-pair program + one bwd-pair program
+        # one fwd-pair + one bwd-pair program, shared by probe and trials
+        assert len(calls) == 2
         return res.best_time_s
 
     # fwd-heavy weights score 2*0.1? no: w_fwd=(4+4)/2=4 -> 4*0.1 + 1*0.3
@@ -330,7 +335,6 @@ def test_nonuniform_weights_with_payloads_distinct_scores(monkeypatch):
     assert abs(s_fwd_heavy - 0.7) < 1e-9
     assert abs(s_bwd_heavy - 1.3) < 1e-9
     assert s_fwd_heavy != s_bwd_heavy
-    del real_time_scanned
 
 
 def test_trial_op_payload_validation():

@@ -310,3 +310,13 @@ def test_plan_policy_pinning(monkeypatch):
     import jax.lax as lax
     assert lax.Precision.HIGH in seen
     assert lax.Precision.HIGHEST not in seen
+
+
+def test_autotune_fft_uneven_decomposition():
+    # review fix: the gate must ignore the padding slots the transpose
+    # pipeline zeroes at repack — on uneven decompositions every
+    # candidate used to fail the gate spuriously and the search raised
+    grid = make_grid_for((16, 15, 16), (2, 4))
+    res = cd.autotune_fft(grid, real=True, n_warmup=1, n_trials=1, iters=2)
+    assert any(t.gate_passed for t in res.trials)
+    assert res.plan.precision in ("high", "highest")
