@@ -283,6 +283,19 @@ class AutotuneOptions:
             raise ValueError(
                 f"grid_mode must be 'transpose' or 'halo', got "
                 f"{self.grid_mode!r}")
+        if len(self.transpose_op_weights) != 4:
+            # caught here: inside the sweep an IndexError would be
+            # swallowed by the per-candidate failure skip and surface as
+            # a misleading 'all candidates failed'
+            raise ValueError(
+                f"transpose_op_weights must give 4 weights (X2Y, Y2Z, "
+                f"Z2Y, Y2X), got {self.transpose_op_weights!r}")
+        object.__setattr__(self, "halo_extents",
+                           _as_triple(self.halo_extents, "halo_extents"))
+        if len(self.halo_periods) != 3:
+            raise ValueError(
+                f"halo_periods must have length 3, got "
+                f"{self.halo_periods!r}")
         for name in ("transpose_input_halo_extents",
                      "transpose_output_halo_extents",
                      "transpose_input_padding", "transpose_output_padding"):

@@ -162,6 +162,16 @@ def make_grid(
     """
     if config.autotune_pdims or (
             autotune_options is not None and autotune_options.autotune_transpose_method):
+        if mesh is not None:
+            # the sweep builds its own candidate meshes over `devices`;
+            # silently dropping a caller mesh (e.g. a sub-mesh of a
+            # training mesh) would tune on the wrong device set and
+            # return a grid not bound to the caller's mesh
+            raise ValueError(
+                "make_grid: autotuning with an explicit mesh is not "
+                "supported — pass devices= instead, or autotune first "
+                "and bind the winning config to your mesh via "
+                "GridDescriptor(config=result.grid.config, mesh=mesh)")
         from cudecomp_tpu.autotune import autotune  # circular-import guard
         result = autotune(config, devices=devices, options=autotune_options,
                           axis_names=axis_names, dtype=example_dtype)

@@ -111,13 +111,24 @@ def build_decomp_mesh(
     # the axis that divides the slice count
     devices.sort(key=lambda d: (_slice_index(d), d.id))
     arr = np.array(devices, dtype=object)
-    if pc % s == 0:
-        # slices tile the column axis: pr-axis collectives (X<->Y) all-ICI
-        grid = arr.reshape(s, pr, pc // s).transpose(1, 0, 2).reshape(pr, pc)
-    elif pr % s == 0:
-        grid = arr.reshape(s, pr // s, pc).reshape(pr, pc)
-    else:
+
+    def slice_aligned(a, b):
+        # (a, b) grid with whole slices grouped along the b axis when
+        # possible (then a-axis collectives stay all-ICI)
+        if b % s == 0:
+            return arr.reshape(s, a, b // s).transpose(1, 0, 2).reshape(a, b)
+        if a % s == 0:
+            # contiguous row blocks of a//s rows per slice
+            return arr.reshape(a, b)
         log_warn(f"pdims {pdims} not alignable to {s} slices; "
                  f"collectives may cross DCN on both axes")
-        grid = arr.reshape(pr, pc)
+        return arr.reshape(a, b)
+
+    if rank_order == RankOrder.COL_MAJOR:
+        # col-major rank->coords contract: build the slice-aligned grid
+        # on transposed dims, then transpose (the s==1 analog is
+        # build_mesh's reshape(pc, pr).T)
+        grid = slice_aligned(pc, pr).T
+    else:
+        grid = slice_aligned(pr, pc)
     return Mesh(grid, axis_names)

@@ -31,6 +31,22 @@ def _shard_layout(grid, axis, halo_extents, padding):
     return cfg, halo, pad, order, ms, local_shape
 
 
+def coords_of_shard_index(grid, axis, index, local_shape):
+    """Recover (pr, pc) process-grid coordinates from a shard's global
+    index (tuple of slices into the padded global buffer).  The ONE
+    implementation of the layout inversion used by scatter/gather,
+    checkpointing, and the test oracles."""
+    order = grid.config.mem_order(axis)
+    coords = [0, 0]
+    for i in range(3):
+        g = order[i]
+        pd = geometry.shard_pdim_of_dim(axis, g)
+        if pd is not None:
+            start = index[i].start or 0
+            coords[pd] = start // local_shape[i]
+    return tuple(coords)
+
+
 def scatter_global(grid, x_global, axis: int, halo_extents=None, padding=None,
                    fill_halos: bool = False):
     """Distribute a host/global array (natural [X, Y, Z] order, shape
@@ -69,14 +85,7 @@ def scatter_global(grid, x_global, axis: int, halo_extents=None, padding=None,
     gshape = geometry.global_buffer_shape(cfg, axis, halo, pad)
 
     def cb(index):
-        # index: global slice per dim; recover (pr, pc) from offsets
-        coords = [0, 0]
-        for i in range(3):
-            g = order[i]
-            pd = geometry.shard_pdim_of_dim(axis, g)
-            if pd is not None:
-                start = index[i].start or 0
-                coords[pd] = start // local_shape[i]
+        coords = coords_of_shard_index(grid, axis, index, local_shape)
         return make_shard(coords[0], coords[1])
 
     return jax.make_array_from_callback(gshape, sharding, cb)
@@ -117,28 +126,35 @@ def gather_global(grid, arr, axis: int, halo_extents=None, padding=None):
     dropped."""
     cfg, halo, pad, order, ms, local_shape = _shard_layout(
         grid, axis, halo_extents, padding)
-    out = np.zeros(cfg.gdims, dtype=arr.dtype)
-    arr = jax.device_get(arr)  # full global padded array (host)
-    pr_n, pc_n = cfg.pdims
-    for pr in range(pr_n):
-        for pc in range(pc_n):
-            pinfo = geometry.get_pencil_info(cfg, axis, (pr, pc), halo, pad)
-            lo_g, hi_g = pinfo.lo_g, pinfo.hi_g
-            sl_buf, sl_dst = [], []
-            for i in range(3):
-                g = order[i]
-                pd = geometry.shard_pdim_of_dim(axis, g)
-                shard_idx = (pr, pc)[pd] if pd is not None else 0
-                base = shard_idx * local_shape[i]
-                h = halo[g]
-                valid = hi_g[g] - lo_g[g] + 1
-                sl_buf.append(slice(base + h, base + h + valid))
-                sl_dst.append(slice(lo_g[g], lo_g[g] + valid))
-            # arr dims are in memory order; out dims in global order
-            block = np.asarray(arr[tuple(sl_buf)])
-            inv = cfg.inv_mem_order(axis)
-            out[tuple(sl_dst[inv[g]] for g in range(3))] = np.transpose(
-                block, axes=[order.index(g) for g in range(3)])
+    if jax.process_count() > 1:
+        raise ValueError(
+            "gather_global materializes the full global array and needs a "
+            "single-controller runtime; on multi-controller deployments "
+            "use checkpoint.save_pencil/load_pencil or iterate "
+            "arr.addressable_shards")
+    comp_shape = tuple(arr.shape[3:])
+    out = np.zeros(cfg.gdims + comp_shape, dtype=arr.dtype)
+    # per-shard device_get: peak host memory is one shard, not the whole
+    # padded global buffer
+    for shard in arr.addressable_shards:
+        if getattr(shard, "replica_id", 0) != 0:
+            continue
+        pr, pc = coords_of_shard_index(grid, axis, shard.index, local_shape)
+        pinfo = geometry.get_pencil_info(cfg, axis, (pr, pc), halo, pad)
+        lo_g, hi_g = pinfo.lo_g, pinfo.hi_g
+        data = np.asarray(jax.device_get(shard.data))
+        sl_buf, sl_dst_g = [], [None] * 3
+        for i in range(3):
+            g = order[i]
+            h = halo[g]
+            valid = hi_g[g] - lo_g[g] + 1
+            sl_buf.append(slice(h, h + valid))
+            sl_dst_g[g] = slice(lo_g[g], lo_g[g] + valid)
+        # data dims are in memory order; out dims in global order
+        block = data[tuple(sl_buf) + (Ellipsis,)]
+        perm = ([order.index(g) for g in range(3)]
+                + list(range(3, 3 + len(comp_shape))))
+        out[tuple(sl_dst_g) + (Ellipsis,)] = np.transpose(block, axes=perm)
     return out
 
 

@@ -26,17 +26,8 @@ from cudecomp_tpu.geometry import _check_extents
 
 
 def _coords_of_shard_index(grid, axis, index, local_shape):
-    """Recover (pr, pc) process-grid coordinates from a shard's global
-    index (tuple of slices into the padded global buffer)."""
-    order = grid.config.mem_order(axis)
-    coords = [0, 0]
-    for i in range(3):
-        g = order[i]
-        pd = geometry.shard_pdim_of_dim(axis, g)
-        if pd is not None:
-            start = index[i].start or 0
-            coords[pd] = start // local_shape[i]
-    return tuple(coords)
+    from cudecomp_tpu.utils.arrays import coords_of_shard_index
+    return coords_of_shard_index(grid, axis, index, local_shape)
 
 
 def save_pencil(path: str, grid, arr, axis: int, halo_extents=None,
@@ -55,6 +46,12 @@ def save_pencil(path: str, grid, arr, axis: int, halo_extents=None,
     os.makedirs(path, exist_ok=True)
 
     for shard in arr.addressable_shards:
+        # on meshes with extra axes (training-mesh embedding) the pencil
+        # array is REPLICATED over those axes: multiple processes hold
+        # the same (pr, pc) shard and would race-write one file — only
+        # the first replica writes
+        if getattr(shard, "replica_id", 0) != 0:
+            continue
         pr, pc = _coords_of_shard_index(grid, axis, shard.index, local_shape)
         pinfo = geometry.get_pencil_info(cfg, axis, (pr, pc), halo, pad)
         data = np.asarray(jax.device_get(shard.data))
@@ -212,13 +209,7 @@ def load_pencil(path: str, grid, axis: int = None, halo_extents=None,
                    ) + comp_shape
 
     def cb(index):
-        coords = [0, 0]
-        for i in range(3):
-            g = order[i]
-            pd = geometry.shard_pdim_of_dim(axis, g)
-            if pd is not None:
-                start = index[i].start or 0
-                coords[pd] = start // local_shape[i]
+        coords = _coords_of_shard_index(grid, axis, index, local_shape)
         return make_shard(coords[0], coords[1])
 
     return jax.make_array_from_callback(gshape, sharding, cb)

@@ -27,13 +27,22 @@ def _build() -> bool:
     src = os.path.join(_CSRC, "cudecomp_core.cpp")
     if not os.path.exists(src):
         return False
+    # compile to a pid-suffixed temp and atomically rename: concurrent
+    # processes on shared storage would otherwise race g++ on the final
+    # path and a loser could CDLL a half-written object
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O2", "-fPIC", "-std=c++17", "-shared", "-o",
-             _LIB_PATH, src],
+             tmp, src],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -24,7 +24,7 @@ def global_index_field(gdims, dtype=np.float64):
 
 
 def check_shards_match_pencil(grid, arr, axis, x_global, halo_extents=None,
-                              padding=None, check_halos=False):
+                              padding=None):
     """Verify each addressable shard's interior against PencilInfo directly
     (independent of gather_global)."""
     cfg = grid.config
@@ -33,14 +33,9 @@ def check_shards_match_pencil(grid, arr, axis, x_global, halo_extents=None,
     pad = geometry._check_extents(padding, "padding")
     ms = geometry.max_splits(cfg, axis)
     local_shape = geometry.pencil_buffer_shape(cfg, axis, halo, pad)
+    from cudecomp_tpu.utils.arrays import coords_of_shard_index
     for shard in arr.addressable_shards:
-        # recover (pr, pc) from the shard's global index offsets
-        coords = [0, 0]
-        for i in range(3):
-            g = order[i]
-            pd = geometry.shard_pdim_of_dim(axis, g)
-            if pd is not None:
-                coords[pd] = (shard.index[i].start or 0) // local_shape[i]
+        coords = coords_of_shard_index(grid, axis, shard.index, local_shape)
         pinfo = geometry.get_pencil_info(cfg, axis, tuple(coords), halo, pad)
         data = np.asarray(shard.data)
         lo_g, hi_g = pinfo.lo_g, pinfo.hi_g
