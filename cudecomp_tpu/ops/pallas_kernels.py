@@ -82,8 +82,24 @@ def _collective_id(base: int, axis_name: str, mesh_axes) -> int:
 
 
 def _a2a_kernel(x_ref, out_ref, local_sem, send_sems, recv_sems,
-                *, P, B, axis_name, mesh_axes):
+                *, P, B, axis_name, mesh_axes, barrier=True):
     me = lax.axis_index(axis_name)
+
+    if P > 1 and barrier:
+        # entry barrier with every peer: no one-sided put may land in a
+        # device's out_ref before that device has entered the kernel
+        # (its buffers exist and no stale program is touching them).
+        # This is also what makes ``collective_id`` legal — Mosaic
+        # rejects it when the kernel has no custom barrier
+        # (jax tpu_custom_call: 'collective_id has to be unspecified or
+        # None when not using a custom barrier'); pattern per
+        # jax.experimental.pallas.ops.tpu.all_gather.
+        bsem = pltpu.get_barrier_semaphore()
+        for s in range(1, P):
+            pltpu.semaphore_signal(
+                bsem, 1,
+                **_peer_device_id(mesh_axes, axis_name, (me + s) % P))
+        pltpu.semaphore_wait(bsem, P - 1)
 
     # self block: local HBM->HBM DMA
     local = pltpu.make_async_copy(
@@ -195,8 +211,11 @@ def exchange_pallas_a2a(blocks, axis_name: str, n: int, block: int,
         log_warn("pallas_a2a interpret mode supports single-axis meshes only;"
                  " falling back to lax.all_to_all")
         return _coll.exchange_all_to_all(blocks, axis_name, n, block)
+    # the interpreter cannot lower get_barrier_semaphore; the barrier is
+    # exactly the real-lowering requirement (Mosaic rejects collective_id
+    # without one), so interpret runs validate the DMA protocol barrier-free
     kernel = functools.partial(_a2a_kernel, P=n, B=block, axis_name=axis_name,
-                               mesh_axes=mesh_axes)
+                               mesh_axes=mesh_axes, barrier=not interpret)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(blocks.shape, blocks.dtype),
@@ -339,8 +358,11 @@ _TILE_BYTES_CAP = 8 * 1024 * 1024
 def _tile_options(m: int, max_tile: int):
     """Mosaic-legal tiles for extent ``m``: multiples of 128 dividing it,
     plus the full extent, bounded by ``max_tile``."""
-    opts = [t for t in range(128, min(m, max_tile), 128) if m % t == 0]
-    if m <= max_tile:
+    # inclusive bound: the exactly-max_tile tile is legal (the byte cap
+    # check downstream uses >), and for m > max_tile it may be the only
+    # one-pass-eligible divisor
+    opts = [t for t in range(128, min(m, max_tile) + 1, 128) if m % t == 0]
+    if m <= max_tile and m not in opts:
         opts.append(m)
     return opts
 
@@ -403,6 +425,26 @@ def _interpret_env() -> bool:
     return os.environ.get("CUDECOMP_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
+def _cyclic_kernel_plan(shape, perm, interpret, itemsize: int = 4):
+    """Full kernel plan for a cyclic permute, or None when the kernel must
+    decline: ((M, N), reshape_out, (tm, tn)).  THE single source for both
+    the eligibility predicate and the dispatch, so they cannot diverge
+    (and the tile planner runs once per trace, not twice)."""
+    if not interpret and jax.default_backend() in ("cpu", "gpu"):
+        return None
+    if len(shape) != 3 or tuple(perm) not in ((1, 2, 0), (2, 0, 1)):
+        return None
+    I, J, K = shape
+    if tuple(perm) == (1, 2, 0):
+        M, N, reshape_out = I, J * K, (J, K, I)
+    else:
+        M, N, reshape_out = I * J, K, (K, I, J)
+    tiles = _plan_tiles(M, N, itemsize)
+    if tiles is None:
+        return None
+    return (M, N), reshape_out, tiles
+
+
 def cyclic_permute_uses_kernel(shape, perm, interpret=None,
                                itemsize: int = 4) -> bool:
     """Would :func:`pallas_cyclic_permute` run the Pallas kernel for this
@@ -415,13 +457,7 @@ def cyclic_permute_uses_kernel(shape, perm, interpret=None,
     — in both cases the identity chain would fold to nothing."""
     if interpret is None:
         interpret = _interpret_env()
-    if not interpret and jax.default_backend() in ("cpu", "gpu"):
-        return False
-    if len(shape) != 3 or tuple(perm) not in ((1, 2, 0), (2, 0, 1)):
-        return False
-    I, J, K = shape
-    M, N = (I, J * K) if tuple(perm) == (1, 2, 0) else (I * J, K)
-    return _plan_tiles(M, N, itemsize) is not None
+    return _cyclic_kernel_plan(shape, perm, interpret, itemsize) is not None
 
 
 def pallas_cyclic_permute(x, perm, interpret=None, force=None):
@@ -446,18 +482,11 @@ def pallas_cyclic_permute(x, perm, interpret=None, force=None):
     import jax.numpy as jnp
     if interpret is None:
         interpret = _interpret_env()
-    if force is False or not cyclic_permute_uses_kernel(
-            x.shape, perm, interpret=interpret,
-            itemsize=x.dtype.itemsize):
+    plan = None if force is False else _cyclic_kernel_plan(
+        x.shape, perm, interpret, x.dtype.itemsize)
+    if plan is None:
         return jnp.transpose(x, perm)
-    I, J, K = x.shape
-    if tuple(perm) == (1, 2, 0):
-        M, N = I, J * K
-        reshape_out = (J, K, I)
-    else:
-        M, N = I * J, K
-        reshape_out = (K, I, J)
-    tm, tn = _plan_tiles(M, N, x.dtype.itemsize)
+    (M, N), reshape_out, (tm, tn) = plan
     out = pallas_transpose2d(x.reshape(M, N), tm, tn, interpret=interpret)
     return out.reshape(reshape_out)
 
@@ -472,7 +501,8 @@ def _sl(ndim, i_d, start, size):
 
 
 def _halo_kernel(x_ref, splits_ref, out_ref, send_sems, recv_sems,
-                 *, P, h, m, i_d, ndim, axis_name, mesh_axes, splits):
+                 *, P, h, m, i_d, ndim, axis_name, mesh_axes, splits,
+                 barrier=True):
     """Periodic one-sided halo ring exchange along array dim ``i_d``: each
     device puts its low interior slab [h, 2h) into the left neighbor\'s
     high-halo slot [h+m, h+m+h), and its high interior slab [v, v+h) (v =
@@ -486,6 +516,15 @@ def _halo_kernel(x_ref, splits_ref, out_ref, send_sems, recv_sems,
     me = lax.axis_index(axis_name)
     left = (me - 1) % P
     right = (me + 1) % P
+    if P > 1 and barrier:
+        # entry barrier with both ring neighbors (see _a2a_kernel): the
+        # in-place puts write the peers' halo slots directly
+        bsem = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(
+            bsem, 1, **_peer_device_id(mesh_axes, axis_name, left))
+        pltpu.semaphore_signal(
+            bsem, 1, **_peer_device_id(mesh_axes, axis_name, right))
+        pltpu.semaphore_wait(bsem, 2)
     if len(set(splits)) == 1:
         v = splits[0]  # static offset
     else:
@@ -537,7 +576,8 @@ def halo_exchange_pallas(local, axis_name: str, P: int, h: int, m: int,
     splits = tuple(splits) if splits is not None else (m,) * P
     kernel = functools.partial(_halo_kernel, P=P, h=h, m=m, i_d=i_d,
                                ndim=local.ndim, splits=splits,
-                               axis_name=axis_name, mesh_axes=mesh_axes)
+                               axis_name=axis_name, mesh_axes=mesh_axes,
+                               barrier=not interpret)
     idx_lo = _sl(local.ndim, i_d, 0, h)
     idx_hi = _sl(local.ndim, i_d, h + m, h)
     if not periodic:

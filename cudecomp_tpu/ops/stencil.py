@@ -102,7 +102,7 @@ def _exchange_ghosts(ul, spec, periods_mem, ndev_by_name):
 
 
 def _kernel(cur_ref, prev_ref, next_ref, *refs,
-            bx, nbx, my, mz, alpha, beta, wrap):
+            nbx, my, mz, alpha, beta, wrap):
     """One-pass ``alpha*u + beta*lap(u)`` on an x-plane block.
 
     NOTE: this specialized 7-point path deliberately coexists with the
@@ -232,7 +232,7 @@ def _apply_local(ul, ghosts, ext, alpha, beta, interpret, wrap):
     gxlo, gxhi, gylo, gyhi, gzlo, gzhi = ghosts
     if _kernel_eligible(ext, ul.dtype, interpret):
         bx = _pick_bx(mx, my * mz * ul.dtype.itemsize)
-        body = partial(_kernel, bx=bx, nbx=mx // bx, my=my, mz=mz,
+        body = partial(_kernel, nbx=mx // bx, my=my, mz=mz,
                        alpha=alpha, beta=beta, wrap=wrap)
         return _ghost_plane_call(body, ul, ghosts, ext, bx, wrap, interpret)
 

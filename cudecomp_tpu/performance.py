@@ -243,8 +243,8 @@ def _time_exchanges(grid, dtype, method_key: str, *, iters, n_warmup,
         if P == 1:
             continue
         name = grid.axis_names[comm_pd]
+        scatter = ax  # the input-pencil dim that splits across peers
         ms_in = geometry.max_splits(cfg, ax)
-        scatter, gather = ax, ax + dir_
         Bs = geometry.max_splits(cfg, ax + dir_)[scatter]
         other = [ms_in[d] for d in range(3) if d != scatter]
         kwargs = {}
@@ -394,7 +394,6 @@ def segment_roundtrip(grid, dtype=np.float32, *, method=None, iters: int = 2,
         local = max(total - a2a, 0.0)
 
     # per-chip bytes leaving the chip over the round trip (4 exchanges)
-    pr, pc = cfg.pdims
     itemsize = np.dtype(dtype).itemsize
     nbytes = 0
     for ax, dir_ in ((0, +1), (1, +1), (2, -1), (1, -1)):
