@@ -90,3 +90,59 @@ def test_random_halo_update(seed):
         np.asarray(jax.device_get(out)), exp,
         err_msg=f"halos wrong {gdims} {pdims} axis={axis} he={he} "
                 f"periods={periods}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_stencil_apply_vs_halo_map(seed):
+    # random 27-tap weights x random divisible layouts x random boundary
+    # periods: the fused stencil_apply path and the ghost-extended
+    # halo_map fallback must agree exactly (the fused/fallback boundary
+    # moves with the tap set and sharding, so random configs walk both)
+    rng = np.random.default_rng(3000 + seed)
+    pdims = [(1, 4), (4, 1), (2, 2), (2, 4), (1, 8)][rng.integers(0, 5)]
+    # divisible extents (the ghost-plane pipeline's requirement)
+    gdims = tuple(int(rng.integers(2, 5)) * max(4, p * 2)
+                  for p in (pdims[0], pdims[1], max(pdims)))
+    kw = {}
+    if rng.integers(0, 2):
+        kw["transpose_axis_contiguous"] = (True, True, True)
+    periods = tuple(bool(rng.integers(0, 2)) for _ in range(3))
+    grid = cd.make_grid(GridConfig(gdims=gdims, pdims=pdims, **kw),
+                        devices=jax.devices()[: pdims[0] * pdims[1]])
+    # random sparse tap set (face-heavy so the fused path is often taken)
+    w = np.zeros((3, 3, 3))
+    for _ in range(int(rng.integers(1, 8))):
+        off = tuple(rng.integers(0, 3) for _ in range(3))
+        w[off] = rng.standard_normal()
+    f = rng.standard_normal(gdims)
+    x = cd.scatter_global(grid, f, 0)
+    got = cd.gather_global(grid, cd.stencil_apply(grid, x, w, 0, periods), 0)
+
+    # oracle: explicit shifted-sum on the global field with the same
+    # boundary conventions (periodic roll / zero beyond edges).  Stencil
+    # offsets index MEMORY dims (the documented contract), so map each
+    # tap's offsets onto global dims through the pencil's memory order.
+    order = grid.config.mem_order(0)
+    ref = np.zeros_like(f)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                wv = w[1 + dx, 1 + dy, 1 + dz]
+                if wv == 0.0:
+                    continue
+                off_g = [0, 0, 0]
+                for i, o in enumerate((dx, dy, dz)):
+                    off_g[order[i]] = o
+                shifted = f
+                for d, o in enumerate(off_g):
+                    if o == 0:
+                        continue
+                    shifted = np.roll(shifted, -o, axis=d)
+                    if not periods[d]:
+                        sl = [slice(None)] * 3
+                        sl[d] = slice(-o, None) if o > 0 else slice(0, -o)
+                        shifted = shifted.copy()
+                        shifted[tuple(sl)] = 0.0
+                ref = ref + wv * shifted
+    np.testing.assert_allclose(got, ref, atol=1e-10,
+                               err_msg=f"{gdims} {pdims} {periods}")
