@@ -445,7 +445,13 @@ def stencil_apply(grid, u, weights, axis: int = 0,
     """Apply an arbitrary compact 3x3x3 stencil to a halo-free pencil
     array: ``out[i,j,k] = sum_{d} weights[1+dx,1+dy,1+dz] *
     u[i+dx, j+dy, k+dz]`` with periodic or Dirichlet-zero boundaries per
-    dim (offsets are in memory order).
+    dim.
+
+    Index conventions: tap offsets index the BUFFER's memory dims (for
+    the default natural layout these coincide with global X/Y/Z; under
+    ``transpose_axis_contiguous``/``transpose_mem_order`` map your taps
+    through ``grid.config.mem_order(axis)``), while ``halo_periods`` is
+    indexed by GLOBAL dims, matching ``update_halos``.
 
     ``weights`` must be a static host array; zero taps cost nothing.
     The stencil runs as ONE fused Pallas HBM pass whenever every tap is
