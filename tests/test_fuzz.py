@@ -146,3 +146,37 @@ def test_random_stencil_apply_vs_halo_map(seed):
                 ref = ref + wv * shifted
     np.testing.assert_allclose(got, ref, atol=1e-10,
                                err_msg=f"{gdims} {pdims} {periods}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_fft_vs_numpy(seed):
+    # random (gdims incl. odd/uneven, pdims, layout, method) x {c2c, r2c}:
+    # forward transform matches numpy on the gathered spectrum and the
+    # round trip restores the field (f64 so the oracle is tight)
+    from cudecomp_tpu.ops.fft import DistributedFFT
+
+    rng = np.random.default_rng(5000 + seed)
+    gdims, pdims, kw, method, _ = random_case(rng)
+    real = bool(rng.integers(0, 2))
+    if real and gdims[0] // 2 + 1 < max(pdims):
+        # r2c halves the X extent; skip draws whose complex grid would
+        # have empty pencils (the library rejects them by design)
+        real = False
+    grid = cd.make_grid(GridConfig(gdims=gdims, pdims=pdims,
+                                   transpose_method=method, **kw),
+                        devices=jax.devices()[: pdims[0] * pdims[1]])
+    plan = DistributedFFT(grid=grid, real=real)
+    if real:
+        f = rng.standard_normal(gdims)
+        ref = np.fft.fftn(np.fft.rfft(f, axis=0), axes=(1, 2))
+    else:
+        f = (rng.standard_normal(gdims)
+             + 1j * rng.standard_normal(gdims)).astype(np.complex128)
+        ref = np.fft.fftn(f)
+    x = cd.scatter_global(grid, f, 0)
+    xh = plan.forward(x)
+    got = cd.gather_global(plan.complex_grid, xh, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-8,
+                               err_msg=f"{gdims} {pdims} {method} {real}")
+    back = cd.gather_global(grid, plan.inverse(xh), 0)
+    np.testing.assert_allclose(back, f, atol=1e-10)
