@@ -30,13 +30,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_DEVICES_SEEN = False
+
+
 def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
+    global _DEVICES_SEEN
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
 
     from bench_full import default_pdims
     devices = jax.devices()
+    _DEVICES_SEEN = True
     n_dev = len(devices)
     pdims = default_pdims(n_dev)
 
@@ -180,6 +185,13 @@ if __name__ == "__main__":
             last = e
             print(f"bench attempt {attempt + 1} failed: {e!r}",
                   file=sys.stderr)
+            if isinstance(e, _WatchdogTimeout) and not _DEVICES_SEEN:
+                # the backend never even enumerated devices: a persistent
+                # wedge, not a transient — retrying would burn another
+                # watchdog period for nothing
+                print("bench: backend wedged before device enumeration; "
+                      "not retrying", file=sys.stderr)
+                break
             if attempt < 2:
                 time.sleep(90)
     else:
