@@ -166,12 +166,21 @@ if __name__ == "__main__":
     # force-exits as the last resort (nonzero exit beats an infinite hang).
     import threading
 
-    def _hard_kill():
+    def _staged_kill():
+        # SIGALRM cannot interrupt a native gRPC wait, so a wedge during
+        # device enumeration would otherwise survive until the full
+        # 3-attempt horizon; check progress at one watchdog period and
+        # exit early when the backend never came up at all
+        time.sleep(watchdog_s + 300)
+        if not _DEVICES_SEEN:
+            print("bench: hard watchdog fired (backend wedged before "
+                  "device enumeration)", file=sys.stderr)
+            os._exit(17)
+        time.sleep(2 * watchdog_s)
         print("bench: hard watchdog fired (backend wedged)", file=sys.stderr)
         os._exit(17)
 
-    killer = threading.Timer(3 * watchdog_s + 300, _hard_kill)
-    killer.daemon = True
+    killer = threading.Thread(target=_staged_kill, daemon=True)
     killer.start()
     last = None
     for attempt in range(3):
