@@ -307,10 +307,13 @@ def _time_halo(grid: GridDescriptor, dtype, options: AutotuneOptions,
     cfg = grid.config
     axis = options.halo_axis
     he = options.halo_extents
-    shape = geometry.global_buffer_shape(cfg, axis, he) + (2,) * n_components
+    pad = options.halo_padding
+    shape = (geometry.global_buffer_shape(cfg, axis, he, pad)
+             + (2,) * n_components)
     x = jax.device_put(np.zeros(shape, dtype=np.dtype(dtype)),
                        grid.sharding(axis))
-    fn = lambda a: update_halos(grid, a, axis, he, options.halo_periods)
+    fn = lambda a: update_halos(grid, a, axis, he, options.halo_periods,
+                                padding=pad)
     return _allreduce_trials(perf.time_scanned(
         fn, x, iters=iters, n_warmup=n_warmup, n_trials=n_trials))
 

@@ -262,6 +262,8 @@ class AutotuneOptions:
     halo_extents: Triple = (0, 0, 0)
     halo_periods: Tuple[bool, bool, bool] = (True, True, True)
     halo_axis: int = 0
+    #: padding payload for halo autotuning trials (``cudecomp.h:218``)
+    halo_padding: Triple = (0, 0, 0)
     #: which communication pattern selects the process grid: "transpose"
     #: (default) times transpose round trips, "halo" times halo updates on
     #: ``halo_axis`` pencils — the analog of ``grid_mode``
@@ -292,6 +294,8 @@ class AutotuneOptions:
                 f"Z2Y, Y2X), got {self.transpose_op_weights!r}")
         object.__setattr__(self, "halo_extents",
                            _as_triple(self.halo_extents, "halo_extents"))
+        object.__setattr__(self, "halo_padding",
+                           _as_triple(self.halo_padding, "halo_padding"))
         if len(self.halo_periods) != 3:
             raise ValueError(
                 f"halo_periods must have length 3, got "

@@ -380,3 +380,17 @@ def test_payload_options_validation_message():
     # a TypeError from element conversion
     with pytest.raises(ValueError, match="4 per-op"):
         cd.AutotuneOptions(transpose_input_halo_extents=(1, 1, 1))
+
+
+def test_halo_padding_payload():
+    # cudecomp.h:218 parity: halo autotuning trials carry the padding
+    # payload the application will use
+    cfg = GridConfig(gdims=(16, 16, 16), pdims=(2, 2))
+    opts = AutotuneOptions(n_warmup=0, n_trials=1,
+                           autotune_halo_method=True,
+                           halo_extents=(1, 1, 1),
+                           halo_padding=(0, 1, 0))
+    result = autotune(cfg, devices=jax.devices()[:4], options=opts)
+    assert result.best_halo_method is not None
+    with pytest.raises(ValueError):
+        AutotuneOptions(halo_padding=(1, 2))
