@@ -48,7 +48,7 @@ from cudecomp_tpu.geometry import (
     halo_workspace_size,
 )
 from cudecomp_tpu.grid import (GridDescriptor, make_grid,
-                               clear_plan_caches)
+                               clear_plan_caches, init, finalize)
 from cudecomp_tpu.ops.transpose import (
     transpose_x_to_y,
     transpose_y_to_x,
@@ -107,6 +107,8 @@ __all__ = [
     "autotune_fft",
     "fft3d",
     "clear_plan_caches",
+    "init",
+    "finalize",
     "SpectralOperators",
     "wavenumber_fields",
     "dealias_mask",

@@ -200,3 +200,23 @@ def clear_plan_caches() -> None:
     halo._build_halo_fn.cache_clear()
     stencil._stencil_apply_fn.cache_clear()
     stencil._diff_apply_fn.cache_clear()
+
+
+def init() -> None:
+    """No-op migration hook (``cudecompInit`` analog, cudecomp.h:249).
+
+    The JAX runtime owns device/communicator lifetime, so there is
+    nothing to initialize; the hook exists so ported applications keep
+    their init/finalize call structure.  Raises early with a clear error
+    if no devices are visible (the closest analog of the reference's
+    init-time failure modes)."""
+    if not jax.devices():
+        raise RuntimeError("cudecomp_tpu.init: no JAX devices visible")
+
+
+def finalize() -> None:
+    """No-op migration hook (``cudecompFinalize`` analog, cudecomp.h:268).
+
+    Drops the library's cached compiled plans (the only state the
+    rebuild holds outside XLA's own management)."""
+    clear_plan_caches()
