@@ -31,10 +31,8 @@ def _time_scanned_local(fn, x, iters, n_trials):
 
 def default_pdims(n_dev: int):
     """Squarest factor pair (pr, pc) of the device count."""
-    pr = int(math.isqrt(n_dev))
-    while n_dev % pr:
-        pr -= 1
-    return pr, n_dev // pr
+    from cudecomp_tpu.geometry import squarest_pdims
+    return squarest_pdims(n_dev)
 
 
 def fft_r2c(N=256, ITERS=10, n_trials=3, gate_only=False, gate_err=None):
@@ -249,10 +247,17 @@ def main():
     import bench
     results = []
 
+    def record(r):
+        # write after EVERY headline: a wedge/exception late in the run
+        # must not discard minutes of completed tunnel measurements
+        results.append(r)
+        with open("BENCH_FULL.json", "w") as f:
+            json.dump(results, f, indent=2)
+
     # c2c headlines (each prints its own line); sizes ascend (hygiene rule,
     # BENCH_NOTES.md) and ITERS=20 keeps the ~25 ms tunnel RTT bias < 2%
-    results.append(bench.main(N=256))
-    results.append(bench.main(N=512))
+    record(bench.main(N=256))
+    record(bench.main(N=512))
 
     # r2c at 512^3 when the server is clean: once any 768^3 workload has
     # run through the axon tunnel SERVER, the 512^3 r2c program (either
@@ -270,36 +275,35 @@ def main():
                                 f"(gate err {err512:.6g}); see "
                                 f"scripts/retry_corruption.py")
     print(json.dumps(r))
-    results.append(r)
+    record(r)
 
     r = transpose_headline()
     print(json.dumps(r))
-    results.append(r)
+    record(r)
 
-    # Large-N transposes (single chip only): NOTE these poison the server
-    # state for 512^3 r2c (see above), which is why they run last and the
-    # r2c gate ran first.  CUDECOMP_TPU_BENCH_LARGE=0 opts out.
+    r = halo_headline()
+    print(json.dumps(r))
+    record(r)
+
+    r = stencil_headline()
+    print(json.dumps(r))
+    record(r)
+
+    r = cg_headline()
+    print(json.dumps(r))
+    record(r)
+
+    # Large-N transposes LAST (single chip only): any >= 768^3 workload
+    # poisons the axon tunnel SERVER for 512^3-r2c-shaped programs (and
+    # per the hygiene rule no gated measurement may follow a 768^3+
+    # workload in-process), so every other headline runs before these.
+    # CUDECOMP_TPU_BENCH_LARGE=0 opts out.
     if (len(jax.devices()) == 1 and jax.default_backend() not in ("cpu",)
             and os.environ.get("CUDECOMP_TPU_BENCH_LARGE", "1") == "1"):
         for N in (768, 1024):
             r = transpose_headline_large(N)
             print(json.dumps(r))
-            results.append(r)
-
-    r = halo_headline()
-    print(json.dumps(r))
-    results.append(r)
-
-    r = stencil_headline()
-    print(json.dumps(r))
-    results.append(r)
-
-    r = cg_headline()
-    print(json.dumps(r))
-    results.append(r)
-
-    with open("BENCH_FULL.json", "w") as f:
-        json.dump(results, f, indent=2)
+            record(r)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,6 @@ import csv
 import itertools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -39,7 +38,6 @@ def parse_case_matrix(cfg):
 
 def run_case(case, n_warmup, n_trials, check, iters=8):
     import jax
-    import jax.numpy as jnp
     import cudecomp_tpu as cd
     from cudecomp_tpu.utils import testing as T
 
@@ -115,15 +113,23 @@ def main():
     args = ap.parse_args()
 
     if args.cpu:
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            "--xla_force_host_platform_device_count=8")
+        # APPEND to any existing XLA_FLAGS: setdefault would silently
+        # drop the 8-virtual-device flag and every multi-device case
+        # would error on the 1-device cpu platform
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict):
+        print(f"error: empty or non-mapping config {args.config}",
+              file=sys.stderr)
+        return 2
 
     n_warmup = cfg.get("n_warmup", 2)
     n_trials = cfg.get("n_trials", 5)
@@ -148,6 +154,10 @@ def main():
               f"{row['roundtrip_ms']}", flush=True)
         rows.append(row)
 
+    if not rows:
+        print("error: config produced zero cases (empty matrix key?)",
+              file=sys.stderr)
+        return 2
     with open(args.output, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

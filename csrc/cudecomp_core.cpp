@@ -49,6 +49,16 @@ int32_t cd_pencil_info(const int64_t gdims[3], const int64_t gdims_dist[3],
                        int64_t* size) {
   if (axis < 0 || axis > 2) return 1;
   if (pr < 0 || pr >= pdims[0] || pc < 0 || pc >= pdims[1]) return 2;
+  // order must be a permutation of {0,1,2}: an out-of-range value would
+  // write past the inv[] stack buffer below instead of erroring
+  {
+    int32_t seen = 0;
+    for (int i = 0; i < 3; ++i) {
+      if (order[i] < 0 || order[i] > 2) return 3;
+      seen |= 1 << order[i];
+    }
+    if (seen != 0b111) return 3;
+  }
   int32_t inv[3];
   for (int i = 0; i < 3; ++i) inv[order[i]] = i;
   const int32_t coords[2] = {pr, pc};

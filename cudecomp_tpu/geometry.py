@@ -30,6 +30,7 @@ costs nothing.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Sequence, Tuple
 
 from cudecomp_tpu.config import GridConfig, RankOrder
@@ -379,6 +380,15 @@ def get_shifted_rank(
 # ---------------------------------------------------------------------------
 # process-grid factorizations (autotune candidates)
 # ---------------------------------------------------------------------------
+
+def squarest_pdims(nranks: int) -> Tuple[int, int]:
+    """The squarest factor pair (pr, pc) of ``nranks`` — the default
+    process grid when no autotuning runs (benchmarks, dryruns)."""
+    pr = math.isqrt(nranks)
+    while nranks % pr:
+        pr -= 1
+    return pr, nranks // pr
+
 
 def pdim_candidates(nranks: int) -> Tuple[Tuple[int, int], ...]:
     """All (Pr, Pc) factor pairs of ``nranks`` — the autotuner's grid axis

@@ -88,6 +88,11 @@ def get_splits(n: int, nchunks: int, excess: int = 0):
     lib = load()
     if lib is None:
         return None
+    if excess and n <= 0:
+        # mirror the Python oracle's rejection (the C ABI has no error
+        # channel for this void function; the out-params would silently
+        # drop the excess and diverge from geometry.get_splits)
+        raise ValueError(f"excess={excess} requires n > 0, got n={n}")
     out = (ctypes.c_int64 * nchunks)()
     lib.cd_get_splits(n, nchunks, excess, out)
     return tuple(out)
