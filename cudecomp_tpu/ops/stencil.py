@@ -101,61 +101,6 @@ def _exchange_ghosts(ul, spec, periods_mem, ndev_by_name):
     return ghosts
 
 
-def _kernel(cur_ref, prev_ref, next_ref, *refs,
-            nbx, my, mz, alpha, beta, wrap):
-    """One-pass ``alpha*u + beta*lap(u)`` on an x-plane block.
-
-    NOTE: this specialized 7-point path deliberately coexists with the
-    generic ``_stencil27_kernel`` rather than routing through it as a
-    weight set.  Its dispatch differs where it matters on hardware (8 MB
-    blocks vs the dense kernel's 4 MB Mosaic cap; in-register rolls with
-    no tap loop) and its 4.4 ms/512^3 headline was measured on-chip in
-    this exact form (BENCH_NOTES.md r4) — unifying the two is a perf
-    experiment to run on real hardware, not a refactor to do blind.
-
-    ``wrap[d]`` marks dims that are fully local AND periodic: their
-    neighbor values come from pure in-register rolls (x: the wrapped
-    prev/next plane BlockSpecs are already correct), so no ghost refs or
-    edge-select masks are needed — on a single shard with all-periodic
-    dims this collapses to the measured-fastest prototype form
-    (BENCH_NOTES.md r4 "stencil pipeline").  Non-wrap dims consume ghost
-    refs (passed in dim order, lo/hi pairs) with the ghost masked into
-    the edge row."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    refs = list(refs)          # ghost refs (lo/hi pairs, dim order)...
-    out_ref = refs.pop()       # ...followed by the output ref
-    i = pl.program_id(0)
-    cur = cur_ref[...]
-    prev, nxt = prev_ref[...], next_ref[...]
-    if not wrap[0]:
-        gxlo, gxhi = refs.pop(0), refs.pop(0)
-        prev = jnp.where(i == 0, gxlo[...], prev)
-        nxt = jnp.where(i == nbx - 1, gxhi[...], nxt)
-    up = jnp.concatenate([prev, cur[:-1]], axis=0)
-    down = jnp.concatenate([cur[1:], nxt], axis=0)
-
-    # pltpu.roll requires non-negative shifts: roll by size-1 == roll by -1
-    ydn = pltpu.roll(cur, 1, 1)
-    yup = pltpu.roll(cur, my - 1, 1)
-    if not wrap[1]:
-        gylo, gyhi = refs.pop(0), refs.pop(0)
-        iy = lax.broadcasted_iota(jnp.int32, cur.shape, 1)
-        ydn = jnp.where(iy == 0, gylo[...], ydn)
-        yup = jnp.where(iy == my - 1, gyhi[...], yup)
-
-    zdn = pltpu.roll(cur, 1, 2)
-    zup = pltpu.roll(cur, mz - 1, 2)
-    if not wrap[2]:
-        gzlo, gzhi = refs.pop(0), refs.pop(0)
-        iz = lax.broadcasted_iota(jnp.int32, cur.shape, 2)
-        zdn = jnp.where(iz == 0, gzlo[...], zdn)
-        zup = jnp.where(iz == mz - 1, gzhi[...], zup)
-
-    lap = up + down + ydn + yup + zdn + zup - 6.0 * cur
-    out_ref[...] = alpha * cur + beta * lap
-
-
 def _kernel_eligible(ext, dtype, interpret: bool) -> bool:
     mx, my, mz = ext
     if interpret:
@@ -187,9 +132,7 @@ def _ghost_plane_call(kernel_body, ul, ghosts, ext, bx, wrap, interpret):
     kernels: x-block grid with periodically-wrapped prev/next plane
     BlockSpecs on the same array, per-dim ghost refs for non-wrap dims
     (``wrap[d]`` drops that dim's ghost refs — the unused exchange slices
-    are dead code XLA eliminates), and the raised Mosaic vmem limit.
-    Both the specialized 7-point kernel and the generic 27-tap kernel
-    dispatch through here, so their scaffolds cannot drift."""
+    are dead code XLA eliminates), and the raised Mosaic vmem limit."""
     from jax.experimental.pallas import tpu as pltpu
     mx, my, mz = ext
     nbx = mx // bx
@@ -223,66 +166,6 @@ def _ghost_plane_call(kernel_body, ul, ghosts, ext, bx, wrap, interpret):
         interpret=interpret,
         **params,
     )(ul, ul, ul, *ghost_args)
-
-
-def _apply_local(ul, ghosts, ext, alpha, beta, interpret, wrap):
-    """Per-shard stencil apply: Pallas one-pass kernel when eligible,
-    ghost-plane XLA form otherwise (CPU testing / ragged tilings)."""
-    mx, my, mz = ext
-    gxlo, gxhi, gylo, gyhi, gzlo, gzhi = ghosts
-    if _kernel_eligible(ext, ul.dtype, interpret):
-        bx = _pick_bx(mx, my * mz * ul.dtype.itemsize)
-        body = partial(_kernel, nbx=mx // bx, my=my, mz=mz,
-                       alpha=alpha, beta=beta, wrap=wrap)
-        return _ghost_plane_call(body, ul, ghosts, ext, bx, wrap, interpret)
-
-    # XLA fallback: same ghost-plane math as jnp concatenations
-    up = jnp.concatenate([gxlo, ul[:-1]], axis=0)
-    down = jnp.concatenate([ul[1:], gxhi], axis=0)
-    ydn = jnp.concatenate([gylo, ul[:, :-1]], axis=1)
-    yup = jnp.concatenate([ul[:, 1:], gyhi], axis=1)
-    zdn = jnp.concatenate([gzlo, ul[..., :-1]], axis=2)
-    zup = jnp.concatenate([ul[..., 1:], gzhi], axis=2)
-    lap = up + down + ydn + yup + zdn + zup - 6.0 * ul
-    return (alpha * ul + beta * lap).astype(ul.dtype)
-
-
-def _lap_apply(grid, u, axis, halo_periods, alpha, beta):
-    from cudecomp_tpu.ops.pallas_kernels import _interpret_env
-
-    cfg = grid.config
-    if axis not in (0, 1, 2):
-        raise ValueError(f"axis out of range: {axis}")
-    periods = tuple(bool(p) for p in halo_periods)
-    if len(periods) != 3:
-        raise ValueError("halo_periods must have length 3")
-    if u.ndim != 3:
-        raise ValueError("ghost-plane stencil expects a plain 3D pencil "
-                         "array (no component dims)")
-    expected = grid.global_shape(axis)
-    if tuple(u.shape) != expected:
-        raise ValueError(
-            f"laplacian7: input shape {tuple(u.shape)} does not match the "
-            f"halo-free pencil layout {expected}")
-    ext = _local_extents(grid, axis)
-    order = cfg.mem_order(axis)
-    periods_mem = tuple(periods[order[d]] for d in range(3))
-    spec = grid.spec(axis)
-    ndev_by_name = dict(grid.mesh.shape)
-    interpret = _interpret_env()
-
-    wrap = tuple(
-        periods_mem[d]
-        and (spec[d] is None or ndev_by_name.get(spec[d], 1) == 1)
-        for d in range(3))
-
-    def local_fn(ul):
-        ghosts = _exchange_ghosts(ul, spec, periods_mem,
-                                  ndev_by_name)
-        return _apply_local(ul, ghosts, ext, alpha, beta, interpret, wrap)
-
-    fn = shard_map_fn(local_fn, grid.mesh, in_specs=(spec,), out_specs=spec)
-    return fn(u)
 
 
 def _extend_dim(ul, d, w, name, P, periodic):
@@ -578,30 +461,27 @@ def _stencil_apply_impl(grid, u, w, axis, periods):
     return halo_map(grid, u, fn, axis, 1, periods)
 
 
-@lru_cache(maxsize=256)
 def _diff_apply_fn(grid, axis, periods, alpha, beta):
-    """Cached differentiable apply for one (grid, op) configuration.
+    """Differentiable ``alpha*I + beta*L`` apply for one (grid, op)
+    configuration, routed through the generic weight-set machinery as the
+    face-tap stencil {center: alpha - 6*beta, faces: beta}.
 
-    The operator ``alpha*I + beta*L`` is SELF-ADJOINT for every ghost
-    mode this module produces — the periodic Laplacian is symmetric, and
-    the Dirichlet zero-ghost Laplacian's matrix (-6 diagonal, 1 for each
-    in-domain neighbor pair) is symmetric too — so the custom VJP routes
-    the cotangent through the SAME fused apply (the Pallas kernel needs
-    an explicit VJP; this also keeps the backward pass one HBM pass).
+    The unification was gated on hardware, not done blind: the
+    stencil_apply-routed 7-tap form ties the formerly-specialized fused
+    kernel on-chip (4.267 vs 4.259 ms/step at 512^3 f32,
+    ``scripts/tune_unify_stencil.py``, BENCH_NOTES.md r4) — face-only tap
+    sets keep the 8 MB block cap and lower to the same one-pass
+    rolls+selects kernel.  The operator is self-adjoint, so
+    ``_stencil_apply_fn``'s reflected-tap VJP reuses the same apply.
     """
-
-    @jax.custom_vjp
-    def f(u):
-        return _lap_apply(grid, u, axis, periods, alpha, beta)
-
-    def fwd(u):
-        return f(u), None
-
-    def bwd(_, g):
-        return (f(g),)
-
-    f.defvjp(fwd, bwd)
-    return f
+    w = np.zeros((3, 3, 3), np.float64)
+    for d in range(3):
+        lo = [1, 1, 1]
+        hi = [1, 1, 1]
+        lo[d], hi[d] = 0, 2
+        w[tuple(lo)] = w[tuple(hi)] = beta
+    w[1, 1, 1] = alpha - 6.0 * beta
+    return _stencil_apply_fn(grid, axis, periods, w.tobytes())
 
 
 def laplacian7(grid, u, axis: int = 0, halo_periods=(True, True, True)):
