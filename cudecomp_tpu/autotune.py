@@ -23,6 +23,7 @@ analog of the autotuned config copied back to the caller
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -185,13 +186,18 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
     reduction (see ``performance.time_scanned``) — ``block_until_ready`` is
     not a reliable barrier on this runtime (BENCH_NOTES.md).  With uniform
     weights one chained program is timed (the reference's ``at_results``
-    round-trip semantics, autotune.cc:546-626); with non-uniform weights the
-    two production-adjacent chained pairs X2Y;Y2Z and Z2Y;Y2X are timed as
-    separate programs and scored with per-pair weights (w0+w1)/2 and
-    (w2+w3)/2 — the pair decomposition composes with per-op halo/padding
-    payloads (each pair's payloads chain exactly as in the production
-    cycle), unlike the reference's per-op event timings (autotune.cc:631-680)
-    which this approximates at pair granularity.
+    round-trip semantics, autotune.cc:546-626).  Non-uniform weights that
+    are uniform WITHIN each production-adjacent pair (w0 == w1, w2 == w3)
+    time the two chained pairs X2Y;Y2Z and Z2Y;Y2X as separate programs
+    scored (w0+w1)/2 and (w2+w3)/2 — exact, since w*(t0+t1) == w*t0 + w*t1,
+    and cheaper than four programs.  Weights that differ within a pair time
+    each op as its OWN pinned-carry scanned program on its production input
+    pencil/payload and score the true per-op sum sum(w_i * t_i) — the
+    reference's per-op event timings (autotune.cc:631-680); zero-weight ops
+    are never compiled or run.  Every decomposition composes with the
+    per-op halo/padding payloads (payload chaining is validated upstream,
+    so each op's standalone input payload equals what the chained cycle
+    would feed it).
 
     When a skip threshold is given, ONE cheap probe (1 warmup + 1 trial on
     the SAME compiled executable the full protocol reuses — no extra
@@ -243,25 +249,29 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
         # score = sum(w_i * t_i) = w * t_roundtrip
         ts = rt_timer.time(max(n_warmup - warm_done, 0), n_trials)
         times = [t * weights[0] for t in ts]
-    else:
-        # pair-granular weighting: the two production-adjacent halves of
-        # the cycle are timed as separate chained programs.  The forward
-        # pair reuses the round trip's x-pencil input; the backward pair
-        # needs a z-pencil input carrying op 2's input payload (which the
-        # chain validation guarantees equals op 1's output payload).
-        # A pair does not return its own input shape, so the scanned carry
-        # is the INPUT pinned by the pair's completion scalar (carry' =
-        # carry + eps * scalar(pair(carry))): the data dependence forces
-        # the pair to execute every scan iteration.  The pin's
-        # reduction+add cost is identical across the method candidates
-        # being ranked (same buffer shapes), so it cancels in the argmin.
-        def pinned(pair_fn):
-            def it(a):
-                eps = jnp.asarray(1e-30, a.dtype)
-                return a + eps * perf.completion_scalar(
-                    pair_fn(a)).astype(a.dtype)
-            return it
+        return _allreduce_trials(times), False
 
+    def pinned(op_fn):
+        # A standalone op (or pair) does not return its own input shape, so
+        # the scanned carry is the INPUT pinned by the op's completion
+        # scalar (carry' = carry + eps * scalar(op(carry))): the data
+        # dependence forces the op to execute every scan iteration.  The
+        # pin's reduction+add cost is identical across the method
+        # candidates being ranked (same buffer shapes), so it cancels in
+        # the argmin.
+        def it(a):
+            eps = jnp.asarray(1e-30, a.dtype)
+            return a + eps * perf.completion_scalar(
+                op_fn(a)).astype(a.dtype)
+        return it
+
+    if weights[0] == weights[1] and weights[2] == weights[3]:
+        # pair-granular weighting (exact for within-pair-uniform weights,
+        # since w*(t0+t1) == w*t0 + w*t1): the two production-adjacent
+        # halves of the cycle are timed as separate chained programs.  The
+        # forward pair reuses the round trip's x-pencil input; the backward
+        # pair needs a z-pencil input carrying op 2's input payload (which
+        # the chain validation guarantees equals op 1's output payload).
         def fwd_pair(a):
             b = tr.transpose_x_to_y(grid, a, method=m, **op_kwargs[0])
             return tr.transpose_y_to_z(grid, b, method=m, **op_kwargs[1])
@@ -295,6 +305,45 @@ def _time_roundtrip(grid: GridDescriptor, dtype, weights,
         t_fwd = fwd_timer.time(pair_warm, n_trials)
         t_bwd = bwd_timer.time(pair_warm, n_trials)
         times = [w_fwd * a + w_bwd * b for a, b in zip(t_fwd, t_bwd)]
+        return _allreduce_trials(times), False
+
+    # exact per-op weighting (autotune.cc:631-680 analog): weights differ
+    # WITHIN a production pair, so each nonzero-weight op is timed as its
+    # own pinned-carry scanned program on its production input pencil and
+    # payload, and candidates are scored by the true sum(w_i * t_i).
+    # Zero-weight ops contribute nothing to the score, so they are never
+    # compiled or run (the wall-time win that makes e.g. a (0,0,0,1)
+    # single-op tune cheap).
+    op_fns = (tr.transpose_x_to_y, tr.transpose_y_to_z,
+              tr.transpose_z_to_y, tr.transpose_y_to_x)
+    in_axes = (0, 1, 2, 1)  # input pencil of X2Y, Y2Z, Z2Y, Y2X
+    timers = []
+    for k in range(4):
+        if weights[k] == 0:
+            timers.append(None)
+            continue
+        in_he = op_kwargs[k].get("input_halo_extents", (0, 0, 0))
+        in_pad = op_kwargs[k].get("input_padding", (0, 0, 0))
+        kshape = (geometry.global_buffer_shape(cfg, in_axes[k], in_he,
+                                               in_pad)
+                  + (2,) * n_components)
+        xk = jax.device_put(np.zeros(kshape, dtype=np.dtype(dtype)),
+                            grid.sharding(in_axes[k]))
+        op = partial(op_fns[k], grid, method=m, **op_kwargs[k])
+        timers.append(perf.ScannedTimer(pinned(op), xk, iters))
+    warm_done = 0
+    if skip_after_first_above is not None:
+        probes = [(_allreduce_trials(t.time(n_warmup=1, n_trials=1))[0]
+                   if t is not None else 0.0) for t in timers]
+        score = sum(w * p for w, p in zip(weights, probes))
+        if score > skip_after_first_above:
+            return [score], True
+        warm_done = 2
+    op_warm = max(n_warmup - warm_done, 0)
+    t_ops = [(t.time(op_warm, n_trials) if t is not None
+              else [0.0] * n_trials) for t in timers]
+    times = [sum(w * t[i] for w, t in zip(weights, t_ops))
+             for i in range(n_trials)]
     return _allreduce_trials(times), False
 
 

@@ -222,10 +222,13 @@ class AutotuneOptions:
       n_warmup / n_trials: per-candidate timing protocol
         (reference: ``src/autotune.cc:541-626`` uses 3 warmup + 5 trials).
       transpose_op_weights: weights for (XToY, YToZ, ZToY, YToX) when
-        scoring.  Non-uniform weights are honored at pair granularity —
-        the chained production pairs X2Y;Y2Z and Z2Y;Y2X are timed as
-        separate programs weighted (w0+w1)/2 and (w2+w3)/2 — and compose
-        with the per-op trial payloads below.
+        scoring (``autotune.cc:631-680`` analog, exact).  Uniform weights
+        time one chained round trip; weights uniform within each
+        production pair (w0 == w1, w2 == w3) time the two chained pairs
+        X2Y;Y2Z and Z2Y;Y2X; weights differing within a pair time each
+        nonzero-weight op as its own program and score the true
+        ``sum(w_i * t_i)``.  All forms compose with the per-op trial
+        payloads below.
       autotune_transpose_method / autotune_halo_method: sweep the collective
         strategy in addition to pdims.
       skip_threshold: abandon a candidate early if its cheap probe (one

@@ -461,10 +461,16 @@ def _stencil_apply_impl(grid, u, w, axis, periods):
     return halo_map(grid, u, fn, axis, 1, periods)
 
 
+@lru_cache(maxsize=256)
 def _diff_apply_fn(grid, axis, periods, alpha, beta):
     """Differentiable ``alpha*I + beta*L`` apply for one (grid, op)
     configuration, routed through the generic weight-set machinery as the
     face-tap stencil {center: alpha - 6*beta, faces: beta}.
+
+    Cached so repeated ``laplacian7``/``diffusion_step`` calls skip the
+    Python-side weight-array rebuild, and so :func:`~cudecomp_tpu.grid.
+    clear_plan_caches` has a concrete cache to drop (the underlying
+    compiled programs live in ``_stencil_apply_fn``'s cache).
 
     The unification was gated on hardware, not done blind: the
     stencil_apply-routed 7-tap form ties the formerly-specialized fused

@@ -337,6 +337,76 @@ def test_nonuniform_weights_with_payloads_distinct_scores(monkeypatch):
     assert s_fwd_heavy != s_bwd_heavy
 
 
+def test_per_op_weights_select_different_winners(monkeypatch):
+    # exact per-op weighting (autotune.cc:631-680): weights that differ
+    # WITHIN a production pair time each nonzero-weight op on its own
+    # input pencil, so on an asymmetric cost structure the weight vector
+    # changes the winner: with op X2Y fast on pdims (2,4) and op Y2X fast
+    # on (4,2), weights (1,0,0,0) and (0,0,0,1) must pick different grids.
+    from cudecomp_tpu import performance as perf
+
+    built = []
+
+    class FakeScannedTimer:
+        def __init__(self, fn, x, iters):
+            built.append(1)
+            pr = dict(x.sharding.mesh.shape)["pr"]
+            pencil = tuple(x.sharding.spec).index(None)
+            if pencil == 0:      # x-pencil input -> op 0 (X2Y)
+                self._t = 0.1 if pr == 2 else 0.3
+            else:                # y-pencil input -> op 3 (Y2X)
+                self._t = 0.3 if pr == 2 else 0.1
+
+        def time(self, n_warmup, n_trials):
+            return [self._t] * max(n_trials, 1)
+
+    monkeypatch.setattr(perf, "ScannedTimer", FakeScannedTimer)
+
+    def winner(weights):
+        built.clear()
+        opts = cd.AutotuneOptions(
+            n_warmup=1, n_trials=1, transpose_op_weights=weights,
+            autotune_transpose_method=False,
+            pr_range=(2, 4), pc_range=(2, 4))
+        res = autotune(cd.GridConfig(gdims=(16, 16, 16), pdims=(0, 0)),
+                       options=opts)
+        # zero-weight ops are never compiled: ONE timer per candidate grid
+        assert len(built) == 2
+        return res.best_pdims, res.best_time_s
+
+    p_fwd, t_fwd = winner((1.0, 0.0, 0.0, 0.0))
+    p_bwd, t_bwd = winner((0.0, 0.0, 0.0, 1.0))
+    assert p_fwd == (2, 4) and p_bwd == (4, 2)
+    assert abs(t_fwd - 0.1) < 1e-9 and abs(t_bwd - 0.1) < 1e-9
+
+
+def test_per_op_weights_exact_sum(monkeypatch):
+    # within-pair-differing weights score the true sum(w_i * t_i) over all
+    # four ops (not a pair mean): fake per-build-order times 0.1/0.2/0.3/0.4
+    # with weights (8,4,2,1) -> 8*.1+4*.2+2*.3+1*.4 = 2.6
+    from cudecomp_tpu import performance as perf
+
+    built = []
+
+    class FakeScannedTimer:
+        def __init__(self, fn, x, iters):
+            built.append(1)
+            self._t = 0.1 * len(built)
+
+        def time(self, n_warmup, n_trials):
+            return [self._t] * max(n_trials, 1)
+
+    monkeypatch.setattr(perf, "ScannedTimer", FakeScannedTimer)
+    from cudecomp_tpu.autotune import _time_roundtrip
+    cfg = cd.GridConfig(gdims=(16, 16, 16), pdims=(2, 4))
+    grid = cd.make_grid(cfg, devices=jax.devices()[:8])
+    times, skipped = _time_roundtrip(grid, jnp.float32, (8.0, 4.0, 2.0, 1.0),
+                                     n_warmup=1, n_trials=2,
+                                     skip_after_first_above=None)
+    assert not skipped and len(built) == 4
+    assert all(abs(t - 2.6) < 1e-9 for t in times)
+
+
 def test_trial_op_payload_validation():
     with pytest.raises(ValueError, match="4 per-op"):
         cd.AutotuneOptions(transpose_input_halo_extents=((1, 1, 1),))
