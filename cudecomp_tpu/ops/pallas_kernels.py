@@ -346,8 +346,22 @@ def _pick_tile(m: int, cap: int = 512) -> int:
 # remote-Mosaic grid cap: the tunnel compiler HANGS compiling 1024-block
 # grids (measured r4: a (384,1152)-tile 768^3 kernel = 1024 blocks never
 # finished compiling while the 768-block (768,768) variant compiled in
-# ~60 s); stay strictly below 1024
+# ~60 s); stay strictly below 1024.  A toolchain-specific quirk, so it is
+# tunable: CUDECOMP_TPU_PERMUTE_GRID_CAP overrides (lazily re-read).
 _GRID_CAP = 896
+
+
+def _grid_cap() -> int:
+    import os
+    ov = os.environ.get("CUDECOMP_TPU_PERMUTE_GRID_CAP")
+    if ov:
+        try:
+            return int(ov)
+        except ValueError:
+            from cudecomp_tpu.utils.env import log_warn
+            log_warn(
+                f"ignoring malformed CUDECOMP_TPU_PERMUTE_GRID_CAP {ov!r}")
+    return _GRID_CAP
 # per-block VMEM budget: Pallas double-buffers both operands, so usable
 # VMEM ~= 4x the input block; blocks past 4 MB get an explicit raised
 # vmem limit in pallas_transpose2d (1024^3 needs 8 MB blocks to stay
@@ -394,7 +408,7 @@ def _plan_tiles(M: int, N: int, itemsize: int = 4):
                     and (tn % 128 == 0 or tn == N)):
                 return tm, tn
     tm, tn = _pick_tile(M), _pick_tile(N)
-    if tm and tn and (M // tm) * (N // tn) <= _GRID_CAP:
+    if tm and tn and (M // tm) * (N // tn) <= _grid_cap():
         return tm, tn
     max_tile = _TILE_BYTES_CAP // (128 * itemsize)  # partner tile >= 128
     opts_m = _tile_options(M, max_tile)
@@ -408,7 +422,7 @@ def _plan_tiles(M: int, N: int, itemsize: int = 4):
             for cn in opts_n:
                 if square_only and cm != cn:
                     continue
-                if (M // cm) * (N // cn) > _GRID_CAP:
+                if (M // cm) * (N // cn) > _grid_cap():
                     continue
                 if cm * cn * itemsize > _TILE_BYTES_CAP:
                     continue
