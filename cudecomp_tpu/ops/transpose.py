@@ -146,12 +146,6 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
     even = (splits_scatter == (Bs,) * P) and (splits_gather == (Bg,) * P)
 
     pipelined = method_key == "ring_pipelined"
-    if pipelined and not even:
-        # the per-peer software pipeline needs uniform chunk sizes; the
-        # padded-pencil pad-to-max path packs everything up front, so
-        # non-divisible extents fall back to the block ring
-        pipelined = False
-        method_key = "ring"
     if not pipelined:
         exchange = EXCHANGES[method_key]
         if method_key == "pallas_a2a":
@@ -172,9 +166,20 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
     # scheduler overlaps local permute work with ICI transfers — the
     # software pipeline the reference builds with per-peer CUDA events
     # (transpose.h:683-744, comm_routines.h:427-631).
+    #
+    # Non-divisible extents (arbitrary per-peer counts, the reference's
+    # pipelined alltoallv, comm_routines.h:427-631) ride the same ring at
+    # the uniform pad-to-max chunk size Bs: chunks are sliced at each
+    # peer's scatter offset (the ragged tail reads pre-padded rows), and
+    # the received chunk is masked to the sender's valid gather width and
+    # accumulated into the output at the sender's gather offset — masked
+    # lanes add zero, so the disjoint valid intervals assemble exactly.
     ms_out = geometry.max_splits(cfg, ax_out)
     pos_sc_in = in_order.index(scatter_dim)
     pos_g_out = out_order.index(gather_dim)
+    pos_sc_out = out_order.index(scatter_dim)
+    off_gather = geometry.get_split_offsets(
+        cfg.effective_gdims_dist[gather_dim], P)
     # unpack permute: input-order chunk dims -> output-order dims, composed
     # into a single transpose (out dim j holds global axis out_order[j])
     perm_unpack = tuple(in_inv[out_order[j]] for j in range(3)) + comp_axes
@@ -182,15 +187,56 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
     def pipelined_fn(t):
         me = lax.axis_index(comm_name)
         interior = tuple(ms_out[out_order[i]] for i in range(3))
-        out = jnp.zeros(interior + t.shape[3:], t.dtype)
+
+        if even:
+            out = jnp.zeros(interior + t.shape[3:], t.dtype)
+
+            def chunk_for(peer):
+                return lax.dynamic_slice_in_dim(t, peer * Bs, Bs,
+                                                axis=pos_sc_in)
+
+            def unpack(blk, recv_peer, acc):
+                c = jnp.transpose(blk, perm_unpack)
+                return lax.dynamic_update_slice_in_dim(
+                    acc, c, recv_peer * Bg, axis=pos_g_out)
+
+            out = unpack(chunk_for(me), me, out)
+            for s in range(1, P):
+                send = chunk_for((me + s) % P)
+                perm = [(j, (j + s) % P) for j in range(P)]
+                recv = lax.ppermute(send, comm_name, perm)
+                out = unpack(recv, (me - s) % P, out)
+            return out
+
+        # uneven: pad the scatter dim so every offset+Bs slice is in
+        # bounds (one static pad, before any send)
+        pad_sc = off_scatter[P - 1] + Bs - t.shape[pos_sc_in]
+        if pad_sc > 0:
+            pw = [(0, 0)] * t.ndim
+            pw[pos_sc_in] = (0, pad_sc)
+            t = jnp.pad(t, pw)
+        offs_sc = jnp.asarray(off_scatter, jnp.int32)
+        offs_g = jnp.asarray(off_gather, jnp.int32)
+        sg = jnp.asarray(splits_gather, jnp.int32)
+        g_full = interior[pos_g_out]           # == sum(splits_gather)
+        g_pad = off_gather[P - 1] + Bg - g_full
+        acc_shape = list(interior)
+        acc_shape[pos_g_out] += max(g_pad, 0)
+        out = jnp.zeros(tuple(acc_shape) + t.shape[3:], t.dtype)
 
         def chunk_for(peer):
-            return lax.dynamic_slice_in_dim(t, peer * Bs, Bs, axis=pos_sc_in)
+            return lax.dynamic_slice_in_dim(t, offs_sc[peer], Bs,
+                                            axis=pos_sc_in)
 
         def unpack(blk, recv_peer, acc):
             c = jnp.transpose(blk, perm_unpack)
-            return lax.dynamic_update_slice_in_dim(acc, c, recv_peer * Bg,
-                                                   axis=pos_g_out)
+            iota = lax.broadcasted_iota(jnp.int32, c.shape, pos_g_out)
+            c = jnp.where(iota < sg[recv_peer], c,
+                          jnp.zeros((), c.dtype))
+            cur = lax.dynamic_slice_in_dim(acc, offs_g[recv_peer], Bg,
+                                           axis=pos_g_out)
+            return lax.dynamic_update_slice_in_dim(
+                acc, cur + c, offs_g[recv_peer], axis=pos_g_out)
 
         out = unpack(chunk_for(me), me, out)
         for s in range(1, P):
@@ -198,7 +244,13 @@ def _build_transpose_fn(grid, ax: int, dir_: int, in_halo, out_halo,
             perm = [(j, (j + s) % P) for j in range(P)]
             recv = lax.ppermute(send, comm_name, perm)
             out = unpack(recv, (me - s) % P, out)
-        return out
+        if g_pad > 0:
+            out = lax.slice_in_dim(out, 0, g_full, axis=pos_g_out)
+        # pad-to-max scatter rows carry zeros (block-path parity): the
+        # ragged chunk tails hold a neighbor's rows, masked off here
+        ssc = jnp.asarray(splits_scatter, jnp.int32)
+        iota_sc = lax.broadcasted_iota(jnp.int32, out.shape, pos_sc_out)
+        return jnp.where(iota_sc < ssc[me], out, jnp.zeros((), out.dtype))
 
     def local_fn(local):
         t = _strip_halos_padding(local, in_order, in_halo, ms_in)

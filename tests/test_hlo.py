@@ -53,6 +53,31 @@ def test_ring_pipelined_lowers_to_p_minus_1_permutes():
     assert count(hlo, "collective-permute") == 3
 
 
+def test_ring_pipelined_uneven_is_per_chunk():
+    # non-divisible extents ride the TRUE per-peer pipeline (pad-to-max
+    # chunks, masked-add unpack), not the block-ring fallback: still P-1
+    # permutes, and each permute moves ONE Bs-chunk (Bs=3 of 9 over P=4),
+    # not the P*Bs packed buffer the block ring exchanges per step
+    import re
+    grid = make((9, 10, 11), (4, 2))  # X<->Y over pr: P=4, splits (3,2,2,2)
+    hlo = lowered_hlo(grid, TransposeMethod.RING_PIPELINED)
+    assert count(hlo, "all-to-all") == 0
+    assert count(hlo, "collective-permute") == 3
+    sizes = set()
+    for line in hlo.splitlines():
+        if " collective-permute(" in line or " collective-permute-start(" in line:
+            m = re.search(r"f32\[([0-9,]+)\]", line)
+            assert m, line
+            dims = [int(v) for v in m.group(1).split(",")]
+            sizes.add(int(np.prod(dims)))
+    # local x-pencil is (9, 3, 6): X full, Y split 10->(3,3,2,2) by pr,
+    # Z split 11->(6,5) by pc, both carried pad-to-max.  A pipeline chunk
+    # is Bs=3 of the 9 X-rows -> 3*3*6 = 54 elements per permute; the
+    # block ring would exchange the whole P*Bs packed buffer (216) per
+    # step instead
+    assert sizes == {3 * 3 * 6}
+
+
 def test_slab_transpose_is_collective_free():
     # X<->Y over pr == 1: pure local reorder, no communication at all
     grid = make((8, 8, 8), (1, 8))

@@ -92,7 +92,8 @@ def test_methods_even(method, pdims):
                                     TransposeMethod.RING_PIPELINED,
                                     TransposeMethod.RING_HIER])
 def test_methods_uneven(method):
-    # RING_PIPELINED falls back to RING here (non-divisible extents)
+    # RING_PIPELINED runs the true per-peer pipeline here too
+    # (non-divisible extents: pad-to-max chunks, masked-add unpack)
     roundtrip_check(make_grid_for((9, 10, 11), (2, 2)), method=method)
 
 
@@ -292,7 +293,7 @@ def test_ring_xor_schedule(pdims):
 
 def test_pipelined_gdims_dist():
     # gdims_dist excess tacks onto the last pencil -> uneven scatter splits;
-    # RING_PIPELINED must fall back to the padded block ring and stay exact
+    # RING_PIPELINED's uneven per-peer pipeline must stay exact here
     grid = make_grid_for((12, 8, 8), (2, 2), gdims_dist=(8, 8, 8))
     f = T.global_index_field((12, 8, 8))
     x = cd.scatter_global(grid, f, 0)
