@@ -66,6 +66,7 @@ class PerfRegistry:
         self.enabled = os.environ.get(
             "CUDECOMP_TPU_ENABLE_PERFORMANCE_REPORT", "0") == "1"
         self.samples: Dict[Tuple, OpSamples] = {}
+        self.trace_attribution: Dict = None
 
     def record(self, key: Tuple, ms: float, bytes_moved: int = 0):
         s = self.samples.get(key)
@@ -73,8 +74,18 @@ class PerfRegistry:
             s = self.samples[key] = OpSamples(key=key, bytes_moved=bytes_moved)
         s.add(ms)
 
+    def attach_trace(self, log_dir: str) -> Dict:
+        """Join a :func:`profile_trace` capture into the registry: the next
+        :meth:`report` prints per-op DEVICE times and the comm/local split
+        next to the wall-clock samples — in-pipeline attribution the
+        synthetic-program segmentation (:func:`segment_roundtrip`) cannot
+        give (``src/performance.cc:391-450`` analog)."""
+        self.trace_attribution = device_op_attribution(log_dir)
+        return self.trace_attribution
+
     def clear(self):
         self.samples.clear()
+        self.trace_attribution = None
 
     # -- reporting -------------------------------------------------------------
 
@@ -158,6 +169,18 @@ class PerfRegistry:
                 lines.append(f"  samples {'/'.join(str(k) for k in key)}:")
                 for i, t in enumerate(s.times_ms):
                     lines.append(f"    {i:4d} {t:10.4f} ms")
+        if self.trace_attribution:
+            a = self.trace_attribution
+            pct = 100.0 * a["comm_ms"] / a["total_ms"] if a["total_ms"] else 0
+            lines.append(
+                f"  device-time attribution (profiler trace): total "
+                f"{a['total_ms']:.3f} ms = comm {a['comm_ms']:.3f} ms "
+                f"({pct:.1f}%) + local {a['local_ms']:.3f} ms")
+            top = sorted(a["ops"].items(), key=lambda kv: -kv[1])[:10]
+            for name, ms in top:
+                kind = ("comm" if name.startswith(_COMM_OP_PREFIXES)
+                        else "local")
+                lines.append(f"    {name:54s} {kind:5s} {ms:10.4f} ms")
         write_dir = os.environ.get("CUDECOMP_TPU_PERF_WRITE_DIR")
         if write_dir:
             # auto-export CSVs at report time, the analog of
@@ -452,6 +475,68 @@ def device_op_times(log_dir: str) -> Dict[str, float]:
                 name = e.get("name", "?")
                 out[name] = out.get(name, 0.0) + e["dur"] / 1e3
     return out
+
+
+_COMM_OP_PREFIXES = ("all-to-all", "collective-permute", "all-gather",
+                     "all-reduce", "reduce-scatter", "collective-broadcast",
+                     "send", "recv")
+
+
+def device_op_attribution(log_dir: str) -> Dict:
+    """Comm/local device-time split from a :func:`profile_trace` capture.
+
+    Keeps only device-executed HLO spans (TPU device lanes, or events
+    carrying an ``hlo_op`` tag on backends without named device lanes) and
+    buckets them by op name into collective-communication time vs local
+    compute — the in-pipeline attribution the reference samples with event
+    pairs around every a2a step inside the production op
+    (``src/performance.cc:391-450``).  Times sum across device lanes.
+
+    Returns ``{"ops": {name: ms}, "comm_ms", "local_ms", "total_ms"}``.
+    """
+    import glob
+    import gzip
+    import json as _json
+    ops: Dict[str, float] = {}
+    for path in glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                          recursive=True):
+        with gzip.open(path, "rt") as f:
+            data = _json.load(f)
+        events = data.get("traceEvents", [])
+        pids = {}
+        for e in events:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+        dev_pids = {p for p, n in pids.items() if "TPU" in n}
+        for e in events:
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            hlo = (e.get("args") or {}).get("hlo_op")
+            if e.get("pid") in dev_pids or hlo:
+                name = hlo or e.get("name", "?")
+                ops[name] = ops.get(name, 0.0) + e["dur"] / 1e3
+    comm = sum(v for k, v in ops.items()
+               if k.startswith(_COMM_OP_PREFIXES))
+    total = sum(ops.values())
+    return {"ops": ops, "comm_ms": comm, "local_ms": total - comm,
+            "total_ms": total}
+
+
+@contextlib.contextmanager
+def attributed_trace(log_dir: str = None):
+    """Trace a region and attach its device-time attribution to
+    :data:`REGISTRY`, so the next ``REGISTRY.report()`` prints device-side
+    comm/local columns next to the wall-clock samples::
+
+        with perf.attributed_trace():
+            roundtrip(x).block_until_ready()
+        print(perf.REGISTRY.report())
+    """
+    import tempfile
+    d = log_dir or tempfile.mkdtemp(prefix="cudecomp_tpu_trace_")
+    with jax.profiler.trace(d):
+        yield d
+    REGISTRY.attach_trace(d)
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,40 @@ def test_shapechange_scan_program_keeps_the_op():
     # and the baseline twin must NOT contain the op
     base = _shapechange_scan_fn(op, np.float32, 4, False)
     float(base(x, w, wx))  # compiles and runs
+
+
+def test_attributed_trace_joins_device_times(tmp_path):
+    # the trace join (performance.cc:391-450 analog): after tracing a real
+    # in-pipeline round trip, report() carries a device-time section with
+    # the comm/local split, and collectives land in the comm bucket
+    from cudecomp_tpu import performance as perf
+
+    REGISTRY.clear()
+    cd.perf_report_enable(True)
+    try:
+        grid = cd.make_grid(GridConfig(gdims=(16, 16, 16), pdims=(2, 2)),
+                            devices=jax.devices()[:4])
+        x = jax.device_put(jnp.zeros(grid.global_shape(0), jnp.float32),
+                           grid.sharding(0))
+        fn = jax.jit(lambda a: cd.transpose_y_to_x(
+            grid, cd.transpose_x_to_y(grid, a)))
+        fn(x).block_until_ready()  # compile outside the trace
+        cd.transpose_x_to_y(grid, x)  # wall-clock sample rows
+        cd.transpose_x_to_y(grid, x)
+        with perf.attributed_trace(str(tmp_path / "tr")) as d:
+            fn(x).block_until_ready()
+        assert d == str(tmp_path / "tr")
+        attr = REGISTRY.trace_attribution
+        assert attr is not None and attr["total_ms"] > 0
+        # the all-to-all transpose must show collective device time
+        assert attr["comm_ms"] > 0
+        assert any(k.startswith("all-to-all") for k in attr["ops"])
+        rep = REGISTRY.report()
+        assert "device-time attribution" in rep
+        assert "comm" in rep and "local" in rep
+        # wall-clock rows still present next to the device columns
+        assert "transpose_x_to_y" in rep
+    finally:
+        cd.perf_report_enable(False)
+        REGISTRY.clear()
+    assert REGISTRY.trace_attribution is None  # clear drops the join
