@@ -504,15 +504,32 @@ def device_op_attribution(log_dir: str) -> Dict:
             data = _json.load(f)
         events = data.get("traceEvents", [])
         pids = {}
+        tids = {}
         for e in events:
-            if e.get("ph") == "M" and e.get("name") == "process_name":
+            if e.get("ph") != "M":
+                continue
+            if e.get("name") == "process_name":
                 pids[e["pid"]] = e["args"].get("name", "")
+            elif e.get("name") == "thread_name":
+                tids[(e.get("pid"), e.get("tid"))] = \
+                    e["args"].get("name", "")
         dev_pids = {p for p, n in pids.items() if "TPU" in n}
+        # TPU lanes carry BOTH whole-module spans ('XLA Modules' thread)
+        # and the per-op spans inside them ('XLA Ops'/'Async XLA Ops') —
+        # keeping both would double-count; keep only the op threads when
+        # they exist
+        op_tids = {k for k, n in tids.items()
+                   if k[0] in dev_pids and n in ("XLA Ops", "Async XLA Ops")}
         for e in events:
             if e.get("ph") != "X" or "dur" not in e:
                 continue
             hlo = (e.get("args") or {}).get("hlo_op")
-            if e.get("pid") in dev_pids or hlo:
+            key = (e.get("pid"), e.get("tid"))
+            if op_tids:
+                keep = key in op_tids
+            else:
+                keep = e.get("pid") in dev_pids or bool(hlo)
+            if keep:
                 name = hlo or e.get("name", "?")
                 ops[name] = ops.get(name, 0.0) + e["dur"] / 1e3
     comm = sum(v for k, v in ops.items()
