@@ -57,15 +57,20 @@ def main():
                     np.cos(x) * np.sin(y) * np.cos(z),
                     -2 * np.cos(x) * np.cos(y) * np.sin(z)], axis=-1)
     err = np.abs(w - ref).max()
+    # dtype-aware gates: f64 when jax_enable_x64 is on, else f32 spectral
+    # round-trip accuracy (~1e-5 at 64^3)
+    f64 = jnp.asarray(uh).dtype == jnp.complex128
     print(f"curl max err vs closed form: {err:.2e}")
-    assert err < 1e-6
+    assert err < (1e-6 if f64 else 1e-4)
 
     # the TG field is divergence-free: the Leray projection is an identity
     ph = sops.project_solenoidal(uh)
     derr = max(float(jnp.max(jnp.abs(ph[..., c] - uh[..., c])))
                for c in range(3))
-    print(f"projection identity on solenoidal field: {derr:.2e}")
-    assert derr < 1e-8
+    scale = float(jnp.max(jnp.abs(uh)))  # unnormalized spectral coeffs
+    print(f"projection identity on solenoidal field: {derr:.2e} "
+          f"(relative {derr / scale:.2e})")
+    assert derr / scale < (1e-12 if f64 else 1e-6)
 
     print("OK")
 

@@ -55,3 +55,12 @@ def test_bench_full_headlines_run_on_cpu():
     assert r["value"] > 0
     r = bench_full.cg_headline(N=16, tol=1e-6, maxiter=200)
     assert r["value"] > 0 and r["rel_residual"] < 1e-6
+
+
+def test_bench_fft_headline_large_runs_on_cpu():
+    # the large-FFT headline path (in-jit plane generation + gate + timing)
+    # must work off-chip too; tiny grid keeps it fast
+    import bench_full
+    r = bench_full.fft_headline_large((32, 16, 16), ITERS=2, n_trials=1)
+    assert r["value"] and r["value"] > 0
+    assert "gate-checked" in r["metric"]
