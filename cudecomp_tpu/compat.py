@@ -169,6 +169,8 @@ class cudecompGridDescAutotuneOptions_t:
     disable_nvshmem_backends: bool = False
     skip_threshold: float = 0.0
     autotune_transpose_backend: bool = False
+    #: accepted for source compatibility, ignored: trials are functional
+    #: and XLA owns buffer aliasing (there is no user workspace to alias)
     transpose_use_inplace_buffers: Sequence[bool] = (False,) * 4
     transpose_op_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
     transpose_input_halo_extents: Sequence[Sequence[int]] = _ZERO43

@@ -555,16 +555,117 @@ def _irdft_mats(n: int, dtype_name: str):
     return cr.astype(dtype_name), ci.astype(dtype_name)
 
 
+def _use_packed_r2c() -> bool:
+    """Packed real transform (two reals per complex slot): the classic
+    N/2-point-complex-FFT real transform (FFTW/cuFFT real plans use it).
+    Opt-in: CUDECOMP_TPU_FFT_R2C_PACKED=1."""
+    return os.environ.get("CUDECOMP_TPU_FFT_R2C_PACKED", "0") == "1"
+
+
+@lru_cache(maxsize=64)
+def _r2c_pack_twiddles(n: int, dtype_name: str):
+    """cos/sin(2*pi*k/n) for k = 0..n//2-1 (the untangle twiddles)."""
+    k = np.arange(n // 2)
+    ang = 2.0 * np.pi * k / n
+    return (np.cos(ang).astype(dtype_name), np.sin(ang).astype(dtype_name))
+
+
+def _bshape(ndim: int, axis: int, m: int):
+    return (1,) * axis + (m,) + (1,) * (ndim - axis - 1)
+
+
+def _rev_half(a, axis):
+    """a[(m - k) mod m] along ``axis`` (index-reversal of an m-point
+    spectrum): element 0 stays, the rest flips."""
+    head = lax.slice_in_dim(a, 0, 1, axis=axis)
+    tail = jnp.flip(lax.slice_in_dim(a, 1, a.shape[axis], axis=axis),
+                    axis=axis)
+    return jnp.concatenate([head, tail], axis=axis)
+
+
+def _rfft_packed(x, axis):
+    """rfft along ``axis`` (even extent n) via ONE n/2-point complex FFT.
+
+    z[j] = f[2j] + i f[2j+1]; Z = FFT_{n/2}(z); with E/O the even/odd
+    sub-spectra recovered by Hermitian (un)tangling,
+    F[k] = E[k] + W_n^k O[k].  Halves the axis contraction length AND
+    removes the zero-imaginary waste of the full-spectrum fallback — and
+    is a structurally different XLA program than the zero-imag c2c form
+    (relevant on runtimes that mis-execute specific program shapes; see
+    BENCH_NOTES.md "runtime corruption").
+    """
+    n = x.shape[axis]
+    m = n // 2
+    ev = lax.slice_in_dim(x, 0, n, stride=2, axis=axis)
+    od = lax.slice_in_dim(x, 1, n, stride=2, axis=axis)
+    zr, zi = _fft_core(ev, od, inverse=False, axis=axis)
+    zr_rev, zi_rev = _rev_half(zr, axis), _rev_half(zi, axis)
+    er = (zr + zr_rev) * 0.5
+    ei = (zi - zi_rev) * 0.5
+    our = (zi + zi_rev) * 0.5
+    oui = (zr_rev - zr) * 0.5
+    c, s = _r2c_pack_twiddles(n, str(x.dtype))
+    bs = _bshape(x.ndim, axis, m)
+    c = jnp.asarray(c).reshape(bs)
+    s = jnp.asarray(s).reshape(bs)
+    fr = er + c * our + s * oui
+    fi = ei + c * oui - s * our
+    # k = m (Nyquist): W^m = -1 -> F[m] = E[0] - O[0]
+    fr_m = (lax.slice_in_dim(er, 0, 1, axis=axis)
+            - lax.slice_in_dim(our, 0, 1, axis=axis))
+    fi_m = (lax.slice_in_dim(ei, 0, 1, axis=axis)
+            - lax.slice_in_dim(oui, 0, 1, axis=axis))
+    return (jnp.concatenate([fr, fr_m], axis=axis),
+            jnp.concatenate([fi, fi_m], axis=axis))
+
+
+def _irfft_packed(r, i, axis, n):
+    """Inverse of :func:`_rfft_packed`: half spectrum (extent n//2+1) to
+    the real signal (extent n) via ONE n/2-point complex inverse FFT."""
+    m = n // 2
+    # c2r semantics (numpy irfft, cuFFT C2R): the DC and Nyquist bins are
+    # real by Hermitian symmetry — their imaginary parts are IGNORED
+    zero = jnp.zeros_like(lax.slice_in_dim(i, 0, 1, axis=axis))
+    i = jnp.concatenate(
+        [zero, lax.slice_in_dim(i, 1, m, axis=axis), zero], axis=axis)
+    fr = lax.slice_in_dim(r, 0, m, axis=axis)
+    fi = lax.slice_in_dim(i, 0, m, axis=axis)
+    # conj(F[m-k]) for k = 0..m-1: indices m..1
+    fr_rev = jnp.flip(lax.slice_in_dim(r, 1, m + 1, axis=axis), axis=axis)
+    fi_rev = jnp.flip(lax.slice_in_dim(i, 1, m + 1, axis=axis), axis=axis)
+    er = (fr + fr_rev) * 0.5
+    ei = (fi - fi_rev) * 0.5
+    gr = (fr - fr_rev) * 0.5
+    gi = (fi + fi_rev) * 0.5
+    c, s = _r2c_pack_twiddles(n, str(r.dtype))
+    bs = _bshape(r.ndim, axis, m)
+    c = jnp.asarray(c).reshape(bs)
+    s = jnp.asarray(s).reshape(bs)
+    our = c * gr - s * gi          # O = G * W^{-k}, W^{-k} = c + i s
+    oui = c * gi + s * gr
+    zr = er - oui                  # Z = E + i O
+    zi = ei + our
+    wr, wi = _fft_core(zr, zi, inverse=True, axis=axis)
+    wr = wr / m
+    wi = wi / m
+    # interleave: f[2j] = Re z[j], f[2j+1] = Im z[j]
+    st = jnp.stack([wr, wi], axis=axis + 1)
+    return st.reshape(r.shape[:axis] + (n,) + r.shape[axis + 1:])
+
+
 def rfft_planes(x, axis: int):
     """Real-to-plane-form FFT along ``axis``: returns (r, i) planes with
     extent N//2 + 1 along ``axis``.
 
     For dense-DFT sizes the contraction uses (N, N//2+1) matrices directly
     — half the flops and output traffic of transforming the full spectrum
-    and slicing.
+    and slicing.  With ``CUDECOMP_TPU_FFT_R2C_PACKED=1`` (and even N) the
+    packed N/2-point-complex form runs instead (see :func:`_rfft_packed`).
     """
     n = x.shape[axis]
     axis = axis % x.ndim
+    if _use_packed_r2c() and n % 2 == 0 and n >= 4:
+        return _rfft_packed(x, axis)
     if _use_half_spectrum() and (n <= _direct_threshold()
                                  or _best_factorization(n)[1] == 1):
         c, s = _rdft_mats(n, str(x.dtype))
@@ -596,6 +697,8 @@ def irfft_planes(r, i, axis: int, n: int):
     """
     ndim = r.ndim
     axis = axis % ndim
+    if _use_packed_r2c() and n % 2 == 0 and n >= 4:
+        return _irfft_packed(r, i, axis, n)
     if _use_half_spectrum() and (n <= _direct_threshold()
                                  or _best_factorization(n)[1] == 1):
         cr, ci = _irdft_mats(n, str(r.dtype))

@@ -246,3 +246,59 @@ def test_policy_contexts_compose():
         assert M._use_gauss() is False
         assert M._precision(64) == lax.Precision.HIGHEST
     assert M._use_gauss() is True
+
+
+def test_packed_r2c_matches_numpy(monkeypatch):
+    # CUDECOMP_TPU_FFT_R2C_PACKED=1: rfft/irfft via ONE n/2-point complex
+    # FFT (pack trick).  Exact vs numpy for forward, round trip, and the
+    # c2r contract on arbitrary half-spectra (DC/Nyquist imag ignored,
+    # like np.fft.irfft / cuFFT C2R)
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_R2C_PACKED", "1")
+    rng = np.random.default_rng(3)
+    for shape, axis in [((16, 6), 0), ((6, 16), 1), ((4, 8, 6), 1),
+                        ((4, 4, 32), 2), ((10, 4), 0)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        r, i = M.rfft_planes(jnp.asarray(x), axis)
+        got = np.asarray(r) + 1j * np.asarray(i)
+        ref = np.fft.rfft(x, axis=axis)
+        assert np.abs(got - ref).max() < 1e-4
+        back = M.irfft_planes(r, i, axis, shape[axis])
+        assert np.abs(np.asarray(back) - x).max() < 1e-5
+        hr = rng.standard_normal(got.shape).astype(np.float32)
+        hi = rng.standard_normal(got.shape).astype(np.float32)
+        nref = np.fft.irfft(hr + 1j * hi, n=shape[axis], axis=axis)
+        ngot = np.asarray(M.irfft_planes(jnp.asarray(hr), jnp.asarray(hi),
+                                         axis, shape[axis]))
+        assert np.abs(ngot - nref).max() < 1e-5
+
+
+def test_packed_r2c_full_plan(monkeypatch):
+    # the packed path rides the full distributed plan (interleaved AND
+    # plane-carried forms) across a (2, 4) mesh
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_R2C_PACKED", "1")
+    import cudecomp_tpu as cd
+    rng = np.random.default_rng(4)
+    grid = cd.make_grid(cd.GridConfig(gdims=(16, 12, 20), pdims=(2, 4)),
+                        devices=jax.devices()[:8])
+    plan = cd.DistributedFFT(grid=grid, real=True)
+    f = rng.standard_normal((16, 12, 20))
+    xs = cd.scatter_global(grid, f, 0)
+    got = cd.gather_global(plan.complex_grid, plan.forward(xs), 2)
+    ref = np.fft.fftn(np.fft.rfft(f, axis=0), axes=(1, 2))
+    assert np.abs(got - ref).max() < 1e-10
+    back = cd.gather_global(grid, plan.inverse(plan.forward(xs)), 0)
+    assert np.abs(back - f).max() < 1e-12
+    rplan = cd.DistributedFFT(grid=grid, real=True, split_complex=True)
+    xs32 = cd.scatter_global(grid, f.astype(np.float32), 0)
+    rt = cd.gather_global(
+        grid, rplan.inverse_planes(rplan.forward_planes(xs32)), 0)
+    assert np.abs(rt - f).max() < 1e-5
+
+
+def test_packed_r2c_odd_n_falls_back(monkeypatch):
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_R2C_PACKED", "1")
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((9, 4)).astype(np.float32)
+    r, i = M.rfft_planes(jnp.asarray(x), 0)
+    ref = np.fft.rfft(x, axis=0)
+    assert np.abs((np.asarray(r) + 1j * np.asarray(i)) - ref).max() < 1e-4
