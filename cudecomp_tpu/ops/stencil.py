@@ -204,8 +204,10 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
     exactly like successive reference halo calls), and ``fn`` maps the
     extended block back to ``(mx, my, mz)``.  Trailing component dims
     (vector fields, ``(..., C)``) pass through unsharded and unextended —
-    ``fn`` sees and returns them.  Non-periodic edges see zero ghosts
-    (Dirichlet); sharded extents must divide evenly.
+    ``fn`` sees them and may CHANGE them (vector -> scalar divergence,
+    scalar -> vector gradient); the output component dims are probed
+    abstractly via ``jax.eval_shape``.  Non-periodic edges see zero
+    ghosts (Dirichlet); sharded extents must divide evenly.
 
     This is the generic escape hatch behind :func:`laplacian7` — use it
     for higher-order or anisotropic stencils; the 7-point Laplacian gets
@@ -230,19 +232,33 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
             f"halo_map: input shape {tuple(u.shape)} does not match the "
             f"halo-free pencil layout {expected}")
     comp = tuple(u.shape[3:])
-    ext = _local_extents(grid, axis) + comp
+    interior = _local_extents(grid, axis)
     for d in range(3):
-        if widths[d] > ext[d]:
+        if widths[d] > interior[d]:
             raise ValueError(
                 f"ghost width {widths[d]} exceeds the local extent "
-                f"{ext[d]} of memory dim {d} (halo.h:120-145 analog)")
+                f"{interior[d]} of memory dim {d} (halo.h:120-145 analog)")
     order = cfg.mem_order(axis)
     periods_mem = tuple(periods[order[d]] for d in range(3))
+    from jax.sharding import PartitionSpec
     spec = grid.spec(axis)
     if comp:
-        from jax.sharding import PartitionSpec
         spec = PartitionSpec(*spec, *([None] * len(comp)))
     ndev_by_name = dict(grid.mesh.shape)
+
+    # ``fn`` may CHANGE the trailing component dims (vector -> scalar
+    # divergence, scalar -> vector gradient): probe its output shape
+    # abstractly on the extended block to build the output spec
+    ext_shape = tuple(interior[d] + 2 * widths[d] for d in range(3)) + comp
+    out_aval = jax.eval_shape(fn, jax.ShapeDtypeStruct(ext_shape, u.dtype))
+    if tuple(out_aval.shape[:3]) != interior:
+        raise ValueError(
+            f"halo_map fn returned spatial shape {tuple(out_aval.shape)}; "
+            f"expected the interior block extents {interior} (+ any "
+            f"trailing component dims)")
+    ext = interior + tuple(out_aval.shape[3:])
+    out_spec = PartitionSpec(*grid.spec(axis),
+                             *([None] * (out_aval.ndim - 3)))
 
     def local_fn(ul):
         for d in range(3):
@@ -260,7 +276,7 @@ def halo_map(grid, u, fn, axis: int = 0, width=1,
 
     with trace_range(f"cudecomp_tpu.halo_map_axis{axis}"):
         return shard_map_fn(local_fn, grid.mesh, in_specs=(spec,),
-                            out_specs=spec)(u)
+                            out_specs=out_spec)(u)
 
 
 def _stencil27_kernel(cur_ref, prev_ref, next_ref, *refs,
