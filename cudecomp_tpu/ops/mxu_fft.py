@@ -210,6 +210,36 @@ def _use_gauss() -> bool:
     return os.environ.get("CUDECOMP_TPU_FFT_GAUSS", "1") == "1"
 
 
+def _guard_fusion() -> bool:
+    """Fusion guards around the DFT contraction boundaries.
+
+    Workaround for a tracked runtime mis-execution class on the remote
+    axon server (BENCH_NOTES.md "runtime corruption"): fused
+    slice/flip + elementwise prologues of large contractions (inputs
+    >= ~2^23 elements) can execute wrong DETERMINISTICALLY while every
+    constituent op is exact in isolation — verified by feeding bit-exact
+    inputs into the same program and watching a single broadcast-multiply
+    come out wrong (r5 session log).  ``lax.optimization_barrier`` at the
+    contraction boundaries forces the prologue to materialize, which
+    sidesteps the defective fusion; the library is bit-verified on real
+    CPU for the unguarded programs, so this is a runtime workaround, not
+    an algorithm fix.
+
+    Default ON for non-CPU/GPU backends (the tunnel platform); env
+    ``CUDECOMP_TPU_FFT_GUARD_FUSION`` forces either way."""
+    env = os.environ.get("CUDECOMP_TPU_FFT_GUARD_FUSION")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def _guard(*xs):
+    """Apply the fusion guard to a tuple of arrays (identity when off)."""
+    if not _guard_fusion():
+        return xs
+    return lax.optimization_barrier(xs)
+
+
 def _cmatmul(xr, xi, mr, mi, eq, n=None):
     """Complex contraction (x @ M) on split parts: 4 real matmuls, or 3 with
     the Gauss form:  k1=(xr+xi)C, k2=xr(S-C), k3=xi(C+S);
@@ -276,6 +306,9 @@ def _fft_core(xr, xi, inverse: bool, axis: int):
         dt = "float32"
     if n == 1:
         return xr, xi
+    # fusion guard: materialize whatever prologue feeds this contraction
+    # (slices/flips/untangles) — see _guard_fusion
+    xr, xi = _guard(xr, xi)
     a, b = _best_factorization(n)
     if n <= _direct_threshold() or b == 1:  # small or prime: dense DFT
         c, s = _dft_mats(n, inverse, dt)
@@ -558,8 +591,11 @@ def _irdft_mats(n: int, dtype_name: str):
 def _use_packed_r2c() -> bool:
     """Packed real transform (two reals per complex slot): the classic
     N/2-point-complex-FFT real transform (FFTW/cuFFT real plans use it).
-    Opt-in: CUDECOMP_TPU_FFT_R2C_PACKED=1."""
-    return os.environ.get("CUDECOMP_TPU_FFT_R2C_PACKED", "0") == "1"
+    Default ON for even N >= 4 (half the contraction length, no wasted
+    zero-imaginary matmuls; with the fusion guards it is also the form
+    that executes correctly at 512^3 on the tracked runtime — r5 log);
+    CUDECOMP_TPU_FFT_R2C_PACKED=0 restores the full-spectrum fallback."""
+    return os.environ.get("CUDECOMP_TPU_FFT_R2C_PACKED", "1") == "1"
 
 
 @lru_cache(maxsize=64)
@@ -633,6 +669,10 @@ def _irfft_packed(r, i, axis, n):
     # conj(F[m-k]) for k = 0..m-1: indices m..1
     fr_rev = jnp.flip(lax.slice_in_dim(r, 1, m + 1, axis=axis), axis=axis)
     fi_rev = jnp.flip(lax.slice_in_dim(i, 1, m + 1, axis=axis), axis=axis)
+    # fusion guard: at 512^3 the flip/slice ops fused into the untangle
+    # chain mis-execute on the tracked runtime (the _fft_core entry guard
+    # alone is not enough there); bisected barrier placement, r5 log
+    fr, fi, fr_rev, fi_rev = _guard(fr, fi, fr_rev, fi_rev)
     er = (fr + fr_rev) * 0.5
     ei = (fi - fi_rev) * 0.5
     gr = (fr - fr_rev) * 0.5

@@ -89,12 +89,21 @@ def probe_tg256():
 
 
 def main(argv):
+    # The probes characterize the SERVER defect, so they run with the
+    # library's fusion-guard workaround OFF (see mxu_fft._guard_fusion);
+    # pass --guarded to probe the guarded (production-default) programs
+    # instead — those are expected CLEAN even while the raw signatures
+    # persist (r5 session log: the defect is a fused slice/flip +
+    # elementwise prologue mis-execution at >= ~2^23-element shapes,
+    # dodged by optimization_barrier at the contraction boundaries).
+    guarded = "--guarded" in argv
+    os.environ["CUDECOMP_TPU_FFT_GUARD_FUSION"] = "1" if guarded else "0"
     results = []
     if "--skip-r2c" not in argv:
-        results.append(probe_r2c512())
+        results.append({**probe_r2c512(), "guarded": guarded})
         print(json.dumps(results[-1]), flush=True)
     if "--skip-tg" not in argv:
-        results.append(probe_tg256())
+        results.append({**probe_tg256(), "guarded": guarded})
         print(json.dumps(results[-1]), flush=True)
     return results
 

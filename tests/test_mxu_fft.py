@@ -302,3 +302,37 @@ def test_packed_r2c_odd_n_falls_back(monkeypatch):
     r, i = M.rfft_planes(jnp.asarray(x), 0)
     ref = np.fft.rfft(x, axis=0)
     assert np.abs((np.asarray(r) + 1j * np.asarray(i)) - ref).max() < 1e-4
+
+
+def test_packed_r2c_default_on():
+    # packed real transforms are the DEFAULT for even N (half the
+    # contraction length; also the r2c form that executes correctly at
+    # 512^3 on the tracked runtime once the fusion guards are active)
+    assert M._use_packed_r2c() is True
+
+
+def test_fusion_guards(monkeypatch):
+    # CUDECOMP_TPU_FFT_GUARD_FUSION: optimization_barrier at the DFT
+    # contraction boundaries (workaround for the tracked runtime defect
+    # where fused slice/flip+elementwise contraction prologues at large
+    # shapes mis-execute).  Semantically an identity: guarded programs
+    # must be numerically identical-quality to unguarded ones.
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((24, 64)).astype(np.float32)
+
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_GUARD_FUSION", "0")
+    assert M._guard_fusion() is False
+    a = np.asarray(x)
+    assert M._guard(jnp.asarray(x))[0].shape == a.shape  # identity tuple
+    r0, i0 = jax.jit(lambda v: M.rfft_planes(v, 1))(jnp.asarray(x))
+
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_GUARD_FUSION", "1")
+    assert M._guard_fusion() is True
+    r1, i1 = jax.jit(lambda v: M.rfft_planes(v, 1))(jnp.asarray(x))
+    ref = np.fft.rfft(x, axis=1)
+    for r, i in ((r0, i0), (r1, i1)):
+        assert np.abs((np.asarray(r) + 1j * np.asarray(i)) - ref).max() < 1e-4
+    # guarded round trip through the full packed path
+    out = jax.jit(lambda v: M.irfft_planes(
+        *M.rfft_planes(v, 1), axis=1, n=64))(jnp.asarray(x))
+    assert np.abs(np.asarray(out) - x).max() < 1e-5
