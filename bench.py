@@ -90,11 +90,20 @@ def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
     # Like the reference benchmarking the fastest correct library config
     # (cuFFT), this tries the fast bf16x3 matmul policy first and falls
     # back to full-f32 HIGHEST if the gate fails on this size/data.
+    # The fusion guards (mxu_fft._guard_fusion, default ON on this
+    # runtime) cost ~5% on the bare c2c round trip, whose unguarded
+    # program is gate-clean on the tracked defect — so the guard knob
+    # joins the gated candidate sweep: fastest configuration that passes
+    # the reference gate wins, exactly the autotuner's contract.
     user_policy = os.environ.get("CUDECOMP_TPU_FFT_PRECISION")
+    user_guard = os.environ.get("CUDECOMP_TPU_FFT_GUARD_FUSION")
     policies = [user_policy] if user_policy else ["high", "highest"]
+    guards = [user_guard] if user_guard is not None else ["0", "1"]
+    candidates = [(g, p) for p in policies for g in guards]
     err = None
     try:
-        for policy in policies:
+        for guard, policy in candidates:
+            os.environ["CUDECOMP_TPU_FFT_GUARD_FUSION"] = guard
             os.environ["CUDECOMP_TPU_FFT_PRECISION"] = policy
             err = float(make_run(1)(x))
             if err < 5e-4:
@@ -111,11 +120,15 @@ def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
             float(run(x))  # scalar fetch = completion barrier
             times.append((time.perf_counter() - t0) / ITERS / 2.0)  # one dir
     finally:
-        # don't leak the probed policy into the rest of the process
+        # don't leak the probed knobs into the rest of the process
         if user_policy is None:
             os.environ.pop("CUDECOMP_TPU_FFT_PRECISION", None)
         else:
             os.environ["CUDECOMP_TPU_FFT_PRECISION"] = user_policy
+        if user_guard is None:
+            os.environ.pop("CUDECOMP_TPU_FFT_GUARD_FUSION", None)
+        else:
+            os.environ["CUDECOMP_TPU_FFT_GUARD_FUSION"] = user_guard
 
     t = min(times)
     n_total = N ** 3
@@ -126,7 +139,7 @@ def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
     payload = {
         "metric": f"{N}^3 c2c FFT single-direction (split-complex MXU, "
                   f"plane-carried, "
-                  f"{policy} gate-checked err {err:.1e}, "
+                  f"{policy} guard={guard} gate-checked err {err:.1e}, "
                   f"{n_dev} chip{'s' if n_dev > 1 else ''}, pdims {pdims})",
         "value": round(gflops, 2),
         "unit": "GFLOPS",

@@ -344,13 +344,15 @@ def main():
     record(bench.main(N=256))
     record(bench.main(N=512))
 
-    # r2c at 512^3 when the server is clean: once any 768^3 workload has
-    # run through the axon tunnel SERVER, the 512^3 r2c program (either
-    # form) returns the deterministic corruption signature (max err
-    # 1.8852040767669678) in every subsequent client process until server
-    # restart (BENCH_NOTES.md r3 "corruption"; scripts/retry_corruption.py
-    # is the one-command probe).  Gate-check 512 first; on the corruption
-    # signature fall back to 256^3 and record the skip reason.
+    # r2c at 512^3: the UNGUARDED programs hit the tracked server
+    # mis-execution (deterministic signature err 1.8852...; BENCH_NOTES.md
+    # r3 "corruption", root-caused r5 to a fused contraction-prologue
+    # defect).  With the r5 fusion guards + packed real transforms (both
+    # library defaults on this runtime) the 512^3 r2c gate passes
+    # (err 1.9e-6, r5 log).  Keep the gate-check anyway: it is the
+    # guard-regression detector; on a failure fall back to 256^3 and
+    # record the skip reason (scripts/retry_corruption.py is the
+    # one-command probe).
     err512 = fft_r2c(N=512, ITERS=8, gate_only=True)
     if err512 < 5e-4:
         r = fft_r2c(N=512, ITERS=8, gate_err=err512)

@@ -4,11 +4,14 @@ Runs a few RK steps of the spectral Navier-Stokes solver end-to-end on the
 TPU and reports energy/enstrophy (sanity: energy decays monotonically for
 TG at Re=100).
 
-Keep N <= 192 on this runtime: 256^3 nonlinear-step programs are
-deterministically mis-executed by the axon server (one velocity
-component halved in a single step — BENCH_NOTES.md r3 "third
-runtime-corruption instance"); the solver is verified correct for the
-same programs on CPU meshes and at 128/192^3 on the chip.
+N >= 256 requires the fusion guards (the library default on this
+runtime): unguarded 256^3 nonlinear-step programs are deterministically
+mis-executed by the axon server (one velocity component halved in a
+single step — BENCH_NOTES.md r3 "third runtime-corruption instance";
+root-caused r5 to a fused slice/flip + elementwise contraction-prologue
+defect, dodged by optimization_barrier — see mxu_fft._guard_fusion).
+The solver is verified correct for the same programs on CPU meshes; with
+guards the 256^3 RK4 step and energy are exact on the chip (r5 log).
 
     python scripts/run_tg_chip.py [N] [steps]
 """
