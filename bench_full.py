@@ -35,7 +35,8 @@ def default_pdims(n_dev: int):
     return squarest_pdims(n_dev)
 
 
-def fft_r2c(N=256, ITERS=10, n_trials=3, gate_only=False, gate_err=None):
+def fft_r2c(N=256, ITERS=10, n_trials=3, gate_only=False, gate_err=None,
+            precision=None):
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu.ops.fft import DistributedFFT
@@ -44,7 +45,8 @@ def fft_r2c(N=256, ITERS=10, n_trials=3, gate_only=False, gate_err=None):
     n_dev = len(devices)
     cfg = GridConfig(gdims=(N, N, N), pdims=default_pdims(n_dev))
     grid = cd.make_grid(cfg, devices=devices)
-    plan = DistributedFFT(grid=grid, real=True, split_complex=True)
+    plan = DistributedFFT(grid=grid, real=True, split_complex=True,
+                          precision=precision)
 
     x = jax.device_put(
         jax.random.normal(jax.random.PRNGKey(1), grid.global_shape(0),
@@ -76,7 +78,9 @@ def fft_r2c(N=256, ITERS=10, n_trials=3, gate_only=False, gate_err=None):
     # N^3 the real grid size (benchmark.cu:658 uses fftsize = gx*gy*gz for
     # both c2c and r2c)
     gflops = 5.0 * n_total * math.log2(n_total) / t / 1e9
+    pol = precision or "highest"
     return {"metric": f"{N}^3 r2c FFT single-direction (split-complex MXU, "
+                      f"{pol} gate-checked err {err:.1e}, "
                       f"{n_dev} chip{'s' if n_dev > 1 else ''})",
             "value": round(gflops, 2), "unit": "GFLOPS", "err": err}
 
@@ -353,13 +357,21 @@ def main():
     # guard-regression detector; on a failure fall back to 256^3 and
     # record the skip reason (scripts/retry_corruption.py is the
     # one-command probe).
-    err512 = fft_r2c(N=512, ITERS=8, gate_only=True)
-    if err512 < 5e-4:
-        r = fft_r2c(N=512, ITERS=8, gate_err=err512)
+    # precision gate, fastest-correct-config (same contract as bench.main):
+    # HIGH (bf16x3) first, HIGHEST fallback; the guards stay at the
+    # library default (ON here) — unguarded r2c is the tracked corruption
+    err512 = pol512 = None
+    for pol in ("high", "highest"):
+        e = fft_r2c(N=512, ITERS=8, gate_only=True, precision=pol)
+        if e < 5e-4:
+            err512, pol512 = e, pol
+            break
+    if err512 is not None:
+        r = fft_r2c(N=512, ITERS=8, gate_err=err512, precision=pol512)
     else:
         r = fft_r2c(N=256, ITERS=10)
-        r["r2c_512_skipped"] = (f"server-state corruption signature "
-                                f"(gate err {err512:.6g}); see "
+        r["r2c_512_skipped"] = (f"gate failed at both precisions "
+                                f"(last err {e:.6g}); see "
                                 f"scripts/retry_corruption.py")
     print(json.dumps(r))
     record(r)
@@ -400,6 +412,28 @@ def main():
                      "skipped": f"{type(e).__name__}: {e}"}
             print(json.dumps(r))
             record(r)
+        # 768^3 r2c (first unblocked by the r5 fusion guards): same
+        # precision-gated protocol as the 512^3 entry
+        try:
+            err768 = pol768 = None
+            for pol in ("high", "highest"):
+                e = fft_r2c(N=768, ITERS=6, gate_only=True, precision=pol)
+                if e < 5e-4:
+                    err768, pol768 = e, pol
+                    break
+            if err768 is not None:
+                r = fft_r2c(N=768, ITERS=6, gate_err=err768,
+                            precision=pol768)
+            else:
+                r = {"metric": "768^3 r2c FFT", "value": None,
+                     "unit": "GFLOPS",
+                     "skipped": f"gate failed at both precisions "
+                                f"(last err {e:.6g})"}
+        except Exception as e:
+            r = {"metric": "768^3 r2c FFT", "value": None, "unit": "GFLOPS",
+                 "skipped": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r))
+        record(r)
         for N in (768, 1024):
             r = transpose_headline_large(N)
             print(json.dumps(r))
