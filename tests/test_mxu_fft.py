@@ -336,3 +336,17 @@ def test_fusion_guards(monkeypatch):
     out = jax.jit(lambda v: M.irfft_planes(
         *M.rfft_planes(v, 1), axis=1, n=64))(jnp.asarray(x))
     assert np.abs(np.asarray(out) - x).max() < 1e-5
+
+
+def test_fusion_guard_lowering_contract(monkeypatch):
+    # the guard must actually emit optimization_barrier into the traced
+    # program when forced on, and emit none when forced off — this is the
+    # contract the runtime workaround rests on (a silently dropped
+    # barrier would resurface the mis-execution with no test signal)
+    x = jnp.zeros((8, 32), jnp.float32)
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_GUARD_FUSION", "1")
+    jx = str(jax.make_jaxpr(lambda v: M.fft_planes(v, v, (1,)))(x))
+    assert "optimization_barrier" in jx
+    monkeypatch.setenv("CUDECOMP_TPU_FFT_GUARD_FUSION", "0")
+    jx = str(jax.make_jaxpr(lambda v: M.fft_planes(v, v, (1,)))(x))
+    assert "optimization_barrier" not in jx
