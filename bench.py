@@ -33,7 +33,7 @@ from jax import lax
 _DEVICES_SEEN = False
 
 
-def main(N: int = 512, ITERS: int = 20, n_trials: int = 3):
+def main(N: int = 512, ITERS: int = 60, n_trials: int = 3):
     global _DEVICES_SEEN
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig

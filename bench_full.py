@@ -344,7 +344,10 @@ def main():
             json.dump(results, f, indent=2)
 
     # c2c headlines (each prints its own line); sizes ascend (hygiene rule,
-    # BENCH_NOTES.md) and ITERS=20 keeps the ~25 ms tunnel RTT bias < 2%
+    # BENCH_NOTES.md).  ITERS=60 (bench.main default): the per-trial fixed
+    # overhead is ~16 ms, not the ~2 ms RTT estimate r2 calibrated against
+    # — at ITERS=20 it biased 256^3 by ~20% and 512^3 by ~2% (measured
+    # 590.97 -> 705.78 / 623.4 -> 635.6 GFLOPS at ITERS=60; r5 log)
     record(bench.main(N=256))
     record(bench.main(N=512))
 
@@ -362,14 +365,14 @@ def main():
     # library default (ON here) — unguarded r2c is the tracked corruption
     err512 = pol512 = None
     for pol in ("high", "highest"):
-        e = fft_r2c(N=512, ITERS=8, gate_only=True, precision=pol)
+        e = fft_r2c(N=512, ITERS=32, gate_only=True, precision=pol)
         if e < 5e-4:
             err512, pol512 = e, pol
             break
     if err512 is not None:
-        r = fft_r2c(N=512, ITERS=8, gate_err=err512, precision=pol512)
+        r = fft_r2c(N=512, ITERS=32, gate_err=err512, precision=pol512)
     else:
-        r = fft_r2c(N=256, ITERS=10)
+        r = fft_r2c(N=256, ITERS=40)
         r["r2c_512_skipped"] = (f"gate failed at both precisions "
                                 f"(last err {e:.6g}); see "
                                 f"scripts/retry_corruption.py")
@@ -417,12 +420,12 @@ def main():
         try:
             err768 = pol768 = None
             for pol in ("high", "highest"):
-                e = fft_r2c(N=768, ITERS=6, gate_only=True, precision=pol)
+                e = fft_r2c(N=768, ITERS=16, gate_only=True, precision=pol)
                 if e < 5e-4:
                     err768, pol768 = e, pol
                     break
             if err768 is not None:
-                r = fft_r2c(N=768, ITERS=6, gate_err=err768,
+                r = fft_r2c(N=768, ITERS=16, gate_err=err768,
                             precision=pol768)
             else:
                 r = {"metric": "768^3 r2c FFT", "value": None,
