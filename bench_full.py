@@ -85,12 +85,11 @@ def fft_r2c(N=256, ITERS=10, n_trials=3, gate_only=False, gate_err=None,
             "value": round(gflops, 2), "unit": "GFLOPS", "err": err}
 
 
-def transpose_headline(N=512, n_trials=3, iters=32):
-    # iters=32, not 8: at iters=8 the ~25 ms tunnel dispatch RTT adds
-    # ~3 ms/op of latency bias (the round-2 28.0 ms "gap" vs the permute
-    # ceiling was exactly this artifact — scripts/profile_transpose512.py
-    # measures 4.12 ms/op = 261 GB/s at iters=32, 99% of the measured
-    # XLA permute ceiling; see BENCH_NOTES.md r3)
+def transpose_headline(N=512, n_trials=3, iters=96):
+    # iters=96: the per-trial fixed overhead on this tunnel is ~16 ms
+    # (r5 log) — at iters=32 it still biased the 512^3 round trip by
+    # ~6% (8.836 -> 8.305 ms measured at 96); the r2 28.0 ms "gap" vs
+    # the permute ceiling was the same artifact at iters=8
     import cudecomp_tpu as cd
     from cudecomp_tpu.config import GridConfig
     from cudecomp_tpu import performance as perf
@@ -201,7 +200,7 @@ def fft_headline_large(gdims, ITERS=8, n_trials=3):
             "vs_baseline": round(gflops / baseline_per_gpu, 4)}
 
 
-def transpose_headline_large(N, n_trials=3, iters=16):
+def transpose_headline_large(N, n_trials=3, iters=32):
     """Chained round trip at N >= 768 with in-jit field generation.
 
     At 1024^3 a 4 GiB f32 benchmark *argument* pushes the program past the
