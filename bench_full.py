@@ -251,7 +251,7 @@ def transpose_headline_large(N, n_trials=3, iters=32):
             "local_gbps_per_chip": round(nbytes / t / 1e9, 2)}
 
 
-def stencil_headline(N=512, ITERS=32, n_trials=3, dt=0.1):
+def stencil_headline(N=512, ITERS=192, n_trials=3, dt=0.1):
     """Fused ghost-plane diffusion step (ops/stencil.py) — the halo
     engine's consumer path re-designed TPU-first (one Pallas HBM pass;
     4x the halo'd-buffer pipeline at 512^3, BENCH_NOTES.md r4)."""
@@ -305,7 +305,7 @@ def cg_headline(N=256, tol=1e-5, maxiter=2000):
             "ms_per_iter": round(wall / max(int(iters), 1) * 1e3, 3)}
 
 
-def halo_headline(N=512, width=1, ITERS=32, n_trials=3):
+def halo_headline(N=512, width=1, ITERS=96, n_trials=3):
     """Halo-update cost on the x-pencil with ±``width`` halos in all
     distributed dims, periodic — the autotuneHaloBackend trial payload
     (autotune.cc:771-1124; BASELINE.md row '64^3 halo autotune')."""
