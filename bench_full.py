@@ -162,12 +162,18 @@ def fft_headline_large(gdims, ITERS=8, n_trials=3):
 
     key = jax.random.PRNGKey(1)
     user_policy = os.environ.get("CUDECOMP_TPU_FFT_PRECISION")
+    user_guard = os.environ.get("CUDECOMP_TPU_FFT_GUARD_FUSION")
     policies = [user_policy] if user_policy else ["high", "highest"]
+    guards = [user_guard] if user_guard is not None else ["0", "1"]
     err = None
     try:
         for policy in policies:
-            os.environ["CUDECOMP_TPU_FFT_PRECISION"] = policy
-            err = float(make_run(1)(key))
+            for guard in guards:
+                os.environ["CUDECOMP_TPU_FFT_GUARD_FUSION"] = guard
+                os.environ["CUDECOMP_TPU_FFT_PRECISION"] = policy
+                err = float(make_run(1)(key))
+                if err < 5e-4:
+                    break
             if err < 5e-4:
                 break
         if err is None or not err < 5e-4:
@@ -189,13 +195,18 @@ def fft_headline_large(gdims, ITERS=8, n_trials=3):
             os.environ.pop("CUDECOMP_TPU_FFT_PRECISION", None)
         else:
             os.environ["CUDECOMP_TPU_FFT_PRECISION"] = user_policy
+        if user_guard is None:
+            os.environ.pop("CUDECOMP_TPU_FFT_GUARD_FUSION", None)
+        else:
+            os.environ["CUDECOMP_TPU_FFT_GUARD_FUSION"] = user_guard
     t = min(ts)
     n_total = int(np.prod(gdims))
     gflops = 5.0 * n_total * math.log2(n_total) / t / 1e9
     baseline_per_gpu = 16826.0 / 8.0
     return {"metric": f"{'x'.join(map(str, gdims))} c2c FFT "
                       f"single-direction (split-complex MXU, plane-carried, "
-                      f"{policy} gate-checked err {err:.1e}, 1 chip)",
+                      f"{policy} guard={guard} gate-checked err {err:.1e}, "
+                      f"1 chip)",
             "value": round(gflops, 2), "unit": "GFLOPS",
             "vs_baseline": round(gflops / baseline_per_gpu, 4)}
 
