@@ -89,18 +89,25 @@ class TaylorGreenSolver:
         # host construction downcasts to f32 on runtimes without x64
         # (device_put), matching the velocity state's precision there
         sops = SpectralOperators(plan=plan, dtype=np.float64)
+        # broadcast-form wavenumbers: a few KB each, so traced programs
+        # that close over the fields dict serialize kilobytes, not 3D
+        # fields (the r5 TG-384^3 remote-compile upload-limit fix); k2 /
+        # inv_k2 / the dealias mask are derived IN-TRACE by the solver
+        # methods (XLA fuses the broadcasts into their consumers)
         kx, ky, kz = sops.wavenumbers()
-        k2 = sops.k_squared()
-        if self.dealias:
-            mask = sops.mask() > 0
-        else:
-            mask = jnp.ones_like(k2, dtype=bool)
-        # zero the k=0 mode of the nonlinear term: mean velocity is conserved
-        mask = (mask & (k2 > 0)).astype(k2.dtype)
-        fields = dict(kx=kx, ky=ky, kz=kz, k2=k2,
-                      inv_k2=sops.inv_k_squared(), mask=mask,
-                      plan=plan, sops=sops)
+        fields = dict(kx=kx, ky=ky, kz=kz, plan=plan, sops=sops)
         return uh, fields
+
+    def _mask(self, f):
+        """Nonlinear-term spectral mask, built in-trace: the 2/3-rule
+        dealias product (when enabled) with the k=0 mode zeroed (mean
+        velocity is conserved)."""
+        sops = f["sops"]
+        k2 = sops.k_squared()
+        live = k2 > 0
+        if self.dealias:
+            live = live & (sops.mask() > 0)
+        return live.astype(k2.dtype)
 
     # -- spectral operators ----------------------------------------------------
     # velocity components live at index -1 of each plane / complex array;
@@ -132,13 +139,13 @@ class TaylorGreenSolver:
             ], axis=-1)                               # u x w
             nh = (plan.forward_planes(nl) if self.split_complex
                   else plan.forward(nl))
-            mask = f["mask"]
+            mask = self._mask(f)
             nh = self._t(lambda a: a * mask[..., None], nh)
             return self._project(nh, f)
 
     def _rhs(self, uh, f):
         """Full explicit right-hand side: nonlinear term + viscous term."""
-        visc = f["k2"]
+        visc = f["sops"].k_squared()
         return self._t(lambda nn, uu: nn - self.nu * visc[..., None] * uu,
                        self._nonlinear(uh, f), uh)
 
@@ -163,7 +170,8 @@ class TaylorGreenSolver:
         # IF-RK4: v = e^{nu k^2 t} u integrates dv/dt = e^{nu k^2 t} N(u);
         # E = half-step factor, E2 = E^2 the full step (constant fields of
         # the traced program; two fused elementwise exps)
-        e = jnp.exp(-self.nu * f["k2"] * (0.5 * dt))[..., None]
+        e = jnp.exp(-self.nu * f["sops"].k_squared()
+                    * (0.5 * dt))[..., None]
         e2 = e * e
         n = lambda v: self._nonlinear(v, f)
         k1 = n(uh)

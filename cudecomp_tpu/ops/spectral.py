@@ -68,6 +68,82 @@ def wavenumber_fields(plan: DistributedFFT,
                  for a in (kx, ky, kz))
 
 
+def _padded_axis_vector(cgrid, values: np.ndarray, g: int) -> np.ndarray:
+    """Lay a per-global-index vector out along global axis ``g`` of the
+    spectral Z-pencil's padded SPMD format: per-shard ``[valid | zero
+    tail]`` blocks concatenated in shard order — the 1D twin of what
+    :func:`~cudecomp_tpu.utils.arrays.scatter_global` does per shard, so
+    a broadcast against padded-pencil state lines k values up with the
+    valid region of every shard (padding rows multiply the state's zero
+    tails, which stay zero)."""
+    from cudecomp_tpu import geometry
+    cfg = cgrid.config
+    order = cfg.mem_order(2)
+    i = order.index(g)
+    local = geometry.pencil_buffer_shape(cfg, 2, None, None)[i]
+    pd = geometry.shard_pdim_of_dim(2, g)
+    nshards = cfg.pdims[pd] if pd is not None else 1
+    out = np.zeros(local * nshards, dtype=values.dtype)
+    for s in range(nshards):
+        pidx = (s, 0) if pd == 0 else ((0, s) if pd == 1 else (0, 0))
+        pinfo = geometry.get_pencil_info(cfg, 2, pidx, None, None)
+        lo, hi = pinfo.lo_g[g], pinfo.hi_g[g]
+        out[s * local: s * local + (hi - lo + 1)] = values[lo: hi + 1]
+    return out
+
+
+def wavenumber_broadcasts(plan: DistributedFFT,
+                          lengths=(2 * math.pi,) * 3,
+                          dtype=None) -> Tuple[jax.Array, jax.Array,
+                                               jax.Array]:
+    """``(kx, ky, kz)`` as BROADCAST-SHAPED arrays: each has its padded
+    extent along the Z-pencil array dim of its global axis and 1
+    elsewhere.
+
+    The TPU-native form of the wavenumber fields: a few KB of per-axis
+    vectors instead of three materialized 3D fields, so (a) traced
+    programs that close over them serialize kilobytes, not hundreds of
+    MB (the r5 TG-384^3 compile hit the remote compiler's upload limit
+    through exactly this), and (b) XLA fuses the broadcast into the
+    consumer instead of streaming full |k|-field reads from HBM.
+    Broadcasting against spectral state reproduces
+    :func:`wavenumber_fields` semantics exactly (padded layout
+    included)."""
+    cgrid = plan.complex_grid
+    ks = _axis_wavenumbers(plan, lengths)
+    order = cgrid.config.mem_order(2)
+    dt = np.dtype(dtype) if dtype is not None else np.float64
+    out = []
+    for g in range(3):
+        vec = _padded_axis_vector(cgrid, ks[g].astype(dt), g)
+        shape = [1, 1, 1]
+        shape[order.index(g)] = len(vec)
+        out.append(jnp.asarray(vec).reshape(shape))
+    return tuple(out)
+
+
+def dealias_axis_broadcasts(plan: DistributedFFT,
+                            fraction: float = 2.0 / 3.0,
+                            lengths=(2 * math.pi,) * 3,
+                            dtype=None):
+    """Per-axis dealias indicator vectors in broadcast form; their
+    product is the sharp 2/3-rule mask of :func:`dealias_mask`."""
+    cgrid = plan.complex_grid
+    gd = plan.grid.config.gdims
+    ks = _axis_wavenumbers(plan, lengths)
+    order = cgrid.config.mem_order(2)
+    dt = np.dtype(dtype) if dtype is not None else np.float64
+    out = []
+    for g in range(3):
+        cut = fraction * (gd[g] // 2) * (2.0 * np.pi / lengths[g])
+        ind = (np.abs(ks[g]) < cut).astype(dt)
+        vec = _padded_axis_vector(cgrid, ind, g)
+        shape = [1, 1, 1]
+        shape[order.index(g)] = len(vec)
+        out.append(jnp.asarray(vec).reshape(shape))
+    return tuple(out)
+
+
 def dealias_mask(plan: DistributedFFT, fraction: float = 2.0 / 3.0,
                  lengths=(2 * math.pi,) * 3, dtype=None) -> jax.Array:
     """Sharp spherical-by-axis cutoff mask (the 2/3 rule by default): 1
@@ -93,10 +169,13 @@ class SpectralOperators:
     complex arrays, or ``(re, im)`` plane pairs when the plan is
     ``split_complex`` — with vector components stacked on the last axis.
 
-    The wavenumber fields are built once (host numpy), scattered into the
-    spectral Z-pencil layout, and cached on the instance; ``dtype``
-    defaults to float32 for split-complex plans (the MXU pipeline's
-    native precision) and float64 otherwise.
+    The wavenumber fields are tiny per-axis BROADCAST vectors (padded
+    Z-pencil layout, cached on the instance); |k|^2-style combinations
+    are built per call so traced consumers fuse them instead of
+    streaming materialized 3D fields from HBM — and traced programs
+    that close over an instance serialize kilobytes, not fields.
+    ``dtype`` defaults to float32 for split-complex plans (the MXU
+    pipeline's native precision) and float64 otherwise.
     """
 
     plan: DistributedFFT
@@ -114,42 +193,44 @@ class SpectralOperators:
                         else np.float64)
 
     def wavenumbers(self):
-        """Cached device ``(kx, ky, kz)`` fields."""
+        """``(kx, ky, kz)`` in broadcast form: each has its padded extent
+        along its own Z-pencil array dim and 1 elsewhere (a few KB, not
+        three 3D fields).  Broadcasting against spectral state reproduces
+        the materialized-field semantics exactly; inside traced code XLA
+        fuses the broadcast into the consumer, and programs that close
+        over these serialize kilobytes instead of hundreds of MB (the r5
+        TG-384^3 remote-compile upload-limit fix)."""
         got = self._cache.get("k")
         if got is None:
-            got = wavenumber_fields(self.plan, self.lengths,
-                                    dtype=self._dtype())
+            got = wavenumber_broadcasts(self.plan, self.lengths,
+                                        dtype=self._dtype())
             self._cache["k"] = got
         return got
 
     def k_squared(self):
-        """Cached ``|k|^2`` field."""
-        got = self._cache.get("k2")
-        if got is None:
-            kx, ky, kz = self.wavenumbers()
-            got = kx * kx + ky * ky + kz * kz
-            self._cache["k2"] = got
-        return got
+        """``|k|^2``, built per call from the broadcast wavenumbers so
+        traced consumers fuse it (evaluating it eagerly materializes the
+        full field, the pre-r5 behavior)."""
+        kx, ky, kz = self.wavenumbers()
+        return kx * kx + ky * ky + kz * kz
 
     def inv_k_squared(self):
-        """Cached ``1/|k|^2`` with the zero mode pinned to 0 (the Leray /
-        Poisson scaling field), materialized once so traced pipelines
-        multiply by a constant instead of re-deriving the division."""
-        got = self._cache.get("inv_k2")
-        if got is None:
-            k2 = self.k_squared()
-            got = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
-            self._cache["inv_k2"] = got
-        return got
+        """``1/|k|^2`` with the zero mode pinned to 0 (the Leray /
+        Poisson scaling field), built per call from the broadcast
+        wavenumbers (fused in traced pipelines)."""
+        k2 = self.k_squared()
+        return jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, k2, 1.0), 0.0)
 
     def mask(self, fraction: float = 2.0 / 3.0):
-        """Cached dealias mask for ``fraction``."""
-        got = self._cache.get(("mask", fraction))
+        """Dealias mask for ``fraction``: the product of cached per-axis
+        broadcast indicator vectors (fused in traced pipelines)."""
+        got = self._cache.get(("mask_axes", fraction))
         if got is None:
-            got = dealias_mask(self.plan, fraction, self.lengths,
-                               dtype=self._dtype())
-            self._cache[("mask", fraction)] = got
-        return got
+            got = dealias_axis_broadcasts(self.plan, fraction, self.lengths,
+                                          dtype=self._dtype())
+            self._cache[("mask_axes", fraction)] = got
+        mx, my, mz = got
+        return mx * my * mz
 
     # -- state algebra -----------------------------------------------------------
     # spectral scalar state: complex array, or (re, im) pair of real arrays
